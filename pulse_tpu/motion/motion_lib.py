@@ -1,0 +1,245 @@
+"""Device-resident motion library.
+
+Re-designs the reference MotionLib (phc/utils/motion_lib_base.py:114-563) the
+TPU way: all frames of all clips live concatenated in flat device arrays with
+per-clip `length_starts` offsets, and every query — time-indexed two-frame
+lerp/slerp state lookup, categorical clip sampling, PMCP weight updates — is a
+pure jittable function of (MotionData, ids, times). Queries are pure gathers
+plus elementwise blends, which XLA fuses into the surrounding env step; there
+is no host round-trip anywhere on the hot path.
+
+Frame layout per clip (computed once at load):
+  gts  [F, J, 3]  global body positions        (FK of the clip)
+  grs  [F, J, 4]  global body rotations (xyzw)
+  gvs  [F, J, 3]  world linear velocities      (smoothed central difference)
+  gavs [F, J, 3]  world angular velocities
+  lrs  [F, J, 4]  local joint rotations
+  dvs  [F, D]     dof velocities (local exp-map rate, finite difference,
+                   ≙ motion_lib_base.py:56-70)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pulse_tpu.ops import quat as q
+from pulse_tpu.kinematics.skeleton import (
+    SkeletonTree,
+    forward_kinematics,
+    compute_angular_velocity,
+    compute_linear_velocity,
+)
+
+
+@struct.dataclass
+class MotionData:
+    """Flat device-resident motion store (a pytree; shardable/donatable)."""
+
+    gts: jax.Array      # [F, J, 3]
+    grs: jax.Array      # [F, J, 4]
+    gvs: jax.Array      # [F, J, 3]
+    gavs: jax.Array     # [F, J, 3]
+    lrs: jax.Array      # [F, J, 4]
+    dvs: jax.Array      # [F, D]
+    length_starts: jax.Array   # [M] first frame index of each clip
+    motion_lengths: jax.Array  # [M] seconds
+    motion_num_frames: jax.Array  # [M]
+    motion_fps: jax.Array      # [M]
+    motion_dt: jax.Array       # [M]
+    sampling_prob: jax.Array   # [M] categorical clip-sampling distribution
+
+    @property
+    def num_motions(self) -> int:
+        return self.length_starts.shape[0]
+
+    @property
+    def num_frames_total(self) -> int:
+        return self.gts.shape[0]
+
+
+# --------------------------------------------------------------------------- #
+# loading
+# --------------------------------------------------------------------------- #
+
+def _compute_dof_vels(local_rot: jax.Array, fps: float) -> jax.Array:
+    """Local joint angular velocity as exp-map rate (motion_lib_base.py:56-70).
+
+    dof_vel[t] = exp_map(q_t^-1 * q_{t+1}) * fps, last frame repeated.
+    """
+    diff = q.quat_mul_norm(q.quat_inverse(local_rot[:-1]), local_rot[1:])
+    vel = q.quat_to_exp_map(diff) * fps
+    return jnp.concatenate([vel, vel[-1:]], axis=0)
+
+
+def build_motion_data(
+    tree: SkeletonTree,
+    clips: Sequence[dict[str, Any]],
+    sampling_prob: np.ndarray | None = None,
+) -> MotionData:
+    """Build the flat device store from per-clip kinematic data.
+
+    Each clip dict: {"fps": float, "local_rotation": [T, J, 4] xyzw,
+    "root_translation": [T, 3]}. FK + velocity computation run here once
+    (host/accelerator, jitted per unique T) — the analogue of the reference's
+    multiprocess per-clip load (motion_lib_base.py:179-323), which a single
+    vectorized trace replaces.
+    """
+    gts_l, grs_l, gvs_l, gavs_l, lrs_l, dvs_l = [], [], [], [], [], []
+    lengths, nframes, fps_l = [], [], []
+    for clip in clips:
+        fps = float(clip["fps"])
+        lr = jnp.asarray(clip["local_rotation"], jnp.float32)
+        rt = jnp.asarray(clip["root_translation"], jnp.float32)
+        g_rot, g_pos = forward_kinematics(tree, lr, rt)
+        gvs = compute_linear_velocity(g_pos, fps)
+        gavs = compute_angular_velocity(g_rot, fps)
+        dvs = _compute_dof_vels(lr[:, 1:], fps).reshape(lr.shape[0], -1)
+        T = lr.shape[0]
+        gts_l.append(g_pos); grs_l.append(g_rot); gvs_l.append(gvs)
+        gavs_l.append(gavs); lrs_l.append(lr); dvs_l.append(dvs)
+        nframes.append(T); fps_l.append(fps); lengths.append((T - 1) / fps)
+
+    nframes = np.asarray(nframes, np.int32)
+    starts = np.concatenate([[0], np.cumsum(nframes)[:-1]]).astype(np.int32)
+    M = len(clips)
+    prob = (
+        np.full(M, 1.0 / M, np.float32)
+        if sampling_prob is None
+        else np.asarray(sampling_prob, np.float32)
+    )
+    return MotionData(
+        gts=jnp.concatenate(gts_l),
+        grs=jnp.concatenate(grs_l),
+        gvs=jnp.concatenate(gvs_l),
+        gavs=jnp.concatenate(gavs_l),
+        lrs=jnp.concatenate(lrs_l),
+        dvs=jnp.concatenate(dvs_l),
+        length_starts=jnp.asarray(starts),
+        motion_lengths=jnp.asarray(lengths, jnp.float32),
+        motion_num_frames=jnp.asarray(nframes),
+        motion_fps=jnp.asarray(fps_l, jnp.float32),
+        motion_dt=jnp.asarray(1.0 / np.asarray(fps_l), jnp.float32),
+        sampling_prob=jnp.asarray(prob),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# sampling
+# --------------------------------------------------------------------------- #
+
+def sample_motions(key: jax.Array, data: MotionData, n: int) -> jax.Array:
+    """Categorical clip sampling by PMCP weights (motion_lib_base.py:395-398)."""
+    return jax.random.categorical(key, jnp.log(data.sampling_prob + 1e-12), shape=(n,))
+
+
+def sample_time(
+    key: jax.Array, data: MotionData, motion_ids: jax.Array, truncate_time: float = 0.0
+) -> jax.Array:
+    """Uniform phase sampling over (possibly truncated) clip length."""
+    phase = jax.random.uniform(key, motion_ids.shape)
+    motion_len = jnp.maximum(data.motion_lengths[motion_ids] - truncate_time, 0.0)
+    return phase * motion_len
+
+
+def sample_time_interval(
+    key: jax.Array, data: MotionData, motion_ids: jax.Array, truncate_time: float = 0.0
+) -> jax.Array:
+    """Time sampling snapped to the 30 Hz control grid (motion_lib_base.py:411-420)."""
+    t = sample_time(key, data, motion_ids, truncate_time)
+    dt = 1.0 / 30.0
+    return jnp.floor(t / dt) * dt
+
+
+# --------------------------------------------------------------------------- #
+# state query
+# --------------------------------------------------------------------------- #
+
+def _calc_frame_blend(time, length, num_frames, dt):
+    """Two-frame index + blend factor (motion_lib_base.py:546-556 semantics)."""
+    phase = jnp.clip(time / jnp.maximum(length, 1e-6), 0.0, 1.0)
+    time = jnp.maximum(time, 0.0)
+    f0 = (phase * (num_frames - 1)).astype(jnp.int32)
+    f1 = jnp.minimum(f0 + 1, num_frames - 1)
+    blend = jnp.clip((time - f0.astype(time.dtype) * dt) / dt, 0.0, 1.0)
+    return f0, f1, blend
+
+
+def get_motion_state(
+    data: MotionData,
+    motion_ids: jax.Array,
+    motion_times: jax.Array,
+    offset: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """Blended reference state at arbitrary times (motion_lib_base.py:434-517).
+
+    Lerp for positions/velocities, slerp for rotations; dof_pos is the exp-map
+    of the slerped local joint rotations. Everything is gathers + elementwise.
+    """
+    length = data.motion_lengths[motion_ids]
+    num_frames = data.motion_num_frames[motion_ids]
+    dt = data.motion_dt[motion_ids]
+    f0, f1, blend = _calc_frame_blend(motion_times, length, num_frames, dt)
+    f0l = f0 + data.length_starts[motion_ids]
+    f1l = f1 + data.length_starts[motion_ids]
+
+    b1 = blend[..., None]          # [B, 1]
+    b2 = blend[..., None, None]    # [B, 1, 1]
+
+    rg_pos = (1.0 - b2) * data.gts[f0l] + b2 * data.gts[f1l]
+    if offset is not None:
+        rg_pos = rg_pos + offset[..., None, :]
+    body_vel = (1.0 - b2) * data.gvs[f0l] + b2 * data.gvs[f1l]
+    body_ang_vel = (1.0 - b2) * data.gavs[f0l] + b2 * data.gavs[f1l]
+    dof_vel = (1.0 - b1) * data.dvs[f0l] + b1 * data.dvs[f1l]
+
+    local_rot = q.slerp(data.lrs[f0l], data.lrs[f1l], b2)
+    rb_rot = q.slerp(data.grs[f0l], data.grs[f1l], b2)
+    dof_pos = q.quat_to_exp_map(local_rot[..., 1:, :]).reshape(*motion_ids.shape, -1)
+
+    return {
+        "root_pos": rg_pos[..., 0, :],
+        "root_rot": rb_rot[..., 0, :],
+        "dof_pos": dof_pos,
+        "root_vel": body_vel[..., 0, :],
+        "root_ang_vel": body_ang_vel[..., 0, :],
+        "dof_vel": dof_vel,
+        "rg_pos": rg_pos,
+        "rb_rot": rb_rot,
+        "body_vel": body_vel,
+        "body_ang_vel": body_ang_vel,
+    }
+
+
+# --------------------------------------------------------------------------- #
+# PMCP adaptive sampling (≙ motion_lib_base.py:348-384)
+# --------------------------------------------------------------------------- #
+
+def update_hard_sampling_weight(data: MotionData, failed_ids: jax.Array) -> MotionData:
+    """Hard-negative mining: sample only clips that failed evaluation.
+
+    failed_ids: [M] bool mask. If nothing failed, falls back to uniform.
+    """
+    any_failed = jnp.any(failed_ids)
+    M = data.num_motions
+    prob = jnp.where(failed_ids, 1.0, 0.0)
+    prob = jnp.where(any_failed, prob / jnp.maximum(prob.sum(), 1e-9), jnp.full((M,), 1.0 / M))
+    return data.replace(sampling_prob=prob)
+
+
+def update_soft_sampling_weight(
+    data: MotionData, termination_history: jax.Array
+) -> MotionData:
+    """Soft PMCP: weight clips by their termination counts; uniform if clean."""
+    total = termination_history.sum()
+    M = data.num_motions
+    prob = jnp.where(
+        total > 0,
+        termination_history / jnp.maximum(total, 1e-9),
+        jnp.full((M,), 1.0 / M),
+    )
+    return data.replace(sampling_prob=prob)
