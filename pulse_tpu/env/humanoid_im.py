@@ -1,0 +1,331 @@
+"""HumanoidIm: the core motion-imitation environment, TPU-native.
+
+Re-designs the reference's HumanoidIm class tower (phc/env/tasks/
+humanoid_im.py:34, BaseTask->Humanoid->HumanoidAMP->HumanoidAMPTask->
+HumanoidIm) as a pure-functional env: `state' = step(state, action)` where
+physics, reference-motion lookup, observation, reward, termination, and
+auto-reset (reference-state-init) are all traced into one XLA program and
+vmapped over the env axis. There are no buffers to poke and no host syncs —
+the Isaac Gym process boundary (humanoid.py:1246-1297) disappears entirely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pulse_tpu.env import kernels
+from pulse_tpu.motion.motion_lib import MotionData, get_motion_state, sample_motions, sample_time
+from pulse_tpu.physics.model import Model
+from pulse_tpu.physics.state import (
+    PhysicsState,
+    dof_pos_from_state,
+    dof_vel_from_state,
+    state_from_kinematics,
+)
+from pulse_tpu.physics.step import physics_step
+
+
+DEFAULT_KEY_BODIES = ("R_Ankle", "L_Ankle", "R_Wrist", "L_Wrist")
+DEFAULT_RESET_BODIES = (
+    "Pelvis", "L_Hip", "L_Knee", "R_Hip", "R_Knee", "Torso", "Spine", "Chest",
+    "Neck", "Head", "L_Thorax", "L_Shoulder", "L_Elbow", "L_Wrist", "L_Hand",
+    "R_Thorax", "R_Shoulder", "R_Elbow", "R_Wrist", "R_Hand",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """≙ env_im*.yaml knobs that shape the jitted program."""
+
+    episode_length: int = 300
+    termination_distance: float = 0.25
+    enable_early_termination: bool = True
+    use_mean_termination: bool = True
+    num_traj_samples: int = 1          # future ref steps in task obs (fut_tracks)
+    traj_sample_timestep: float = 1.0 / 30.0
+    local_root_obs: bool = True
+    root_height_obs: bool = True
+    state_init: str = "Random"         # Default | Start | Random | Hybrid
+    hybrid_init_prob: float = 0.5
+    power_reward: bool = False
+    power_coefficient: float = 0.0005
+    cycle_motion: bool = False
+    key_bodies: Sequence[str] = DEFAULT_KEY_BODIES
+    reset_bodies: Sequence[str] = DEFAULT_RESET_BODIES
+    # reward specs (humanoid_im.py:55)
+    k_pos: float = 100.0
+    k_rot: float = 10.0
+    k_vel: float = 0.1
+    k_ang_vel: float = 0.1
+    w_pos: float = 0.5
+    w_rot: float = 0.3
+    w_vel: float = 0.1
+    w_ang_vel: float = 0.1
+
+
+@struct.dataclass
+class EnvState:
+    """Per-env state pytree (batched by vmap at the wrapper level)."""
+
+    physics: PhysicsState
+    key: jax.Array
+    motion_id: jax.Array       # i32 []
+    start_time: jax.Array      # f32 []
+    progress: jax.Array        # i32 []
+    obs: jax.Array             # [obs_dim]
+    reward: jax.Array          # []
+    reward_raw: jax.Array      # [4]
+    done: jax.Array            # bool []
+    terminate: jax.Array       # bool []
+    amp_obs: jax.Array         # [amp_obs_dim]
+
+
+class HumanoidImEnv:
+    """Bundles (physics model, motion data, config) and exposes pure
+    reset/step functions. Instances hold no mutable state."""
+
+    def __init__(self, model: Model, motion: MotionData, config: EnvConfig | None = None):
+        self.model = model
+        self.motion = motion
+        self.config = config or EnvConfig()
+        names = None
+        # body name resolution comes from the skeleton the model was built
+        # from; Model does not carry names, so the env resolves via spec names
+        from pulse_tpu.assets import load_smpl_humanoid  # default naming
+
+        self._names = load_smpl_humanoid().skeleton.node_names
+        self.key_body_ids = np.asarray(
+            [self._names.index(n) for n in self.config.key_bodies], np.int32
+        )
+        self.reset_body_ids = np.asarray(
+            [self._names.index(n) for n in self.config.reset_bodies], np.int32
+        )
+        J = model.num_bodies
+        self.num_bodies = J
+        self.self_obs_dim = (1 if self.config.root_height_obs else 0) + (J - 1) * 3 + J * 6 + J * 3 + J * 3
+        self.task_obs_dim = self.config.num_traj_samples * J * 24
+        self.obs_dim = self.self_obs_dim + self.task_obs_dim
+        D = model.num_dof
+        self.amp_obs_dim = (
+            (1 if self.config.root_height_obs else 0)
+            + 6 + 3 + 3 + 2 * D + D + 3 * len(self.key_body_ids)
+        )
+        self.action_dim = D
+
+    # ------------------------------------------------------------------ #
+    # reference state lookup
+    # ------------------------------------------------------------------ #
+
+    def _motion_time(self, state: EnvState) -> jax.Array:
+        t = state.start_time + state.progress.astype(jnp.float32) * self.model.config.control_dt
+        if self.config.cycle_motion:
+            length = self.motion.motion_lengths[state.motion_id]
+            t = jnp.mod(t, jnp.maximum(length, 1e-6))
+        return t
+
+    def _ref_state(self, motion_id: jax.Array, t: jax.Array) -> dict:
+        """Single-time reference state ([...] scalars in, [J,...] out)."""
+        st = get_motion_state(self.motion, motion_id[None], t[None])
+        return {k: v[0] for k, v in st.items()}
+
+    def _ref_track(self, motion_id: jax.Array, t: jax.Array) -> dict:
+        """Future-track reference states for task obs: [T, J, ...]."""
+        T = self.config.num_traj_samples
+        offsets = jnp.arange(T, dtype=jnp.float32) * self.config.traj_sample_timestep
+        times = t + offsets
+        ids = jnp.broadcast_to(motion_id, (T,))
+        return get_motion_state(self.motion, ids, times)
+
+    # ------------------------------------------------------------------ #
+    # reset (reference state init, ≙ humanoid_im.py:921-989)
+    # ------------------------------------------------------------------ #
+
+    def _sample_init_time(self, key, motion_id):
+        cfg = self.config
+        if cfg.state_init == "Start":
+            return jnp.zeros(())
+        t_rand = sample_time(key, self.motion, motion_id[None])[0]
+        if cfg.state_init == "Random":
+            return t_rand
+        if cfg.state_init == "Hybrid":
+            k1, k2 = jax.random.split(key)
+            use_start = jax.random.uniform(k1) > cfg.hybrid_init_prob
+            return jnp.where(use_start, 0.0, sample_time(k2, self.motion, motion_id[None])[0])
+        return jnp.zeros(())  # Default
+
+    def reset_one(self, key: jax.Array) -> EnvState:
+        k_motion, k_time, k_next = jax.random.split(key, 3)
+        motion_id = sample_motions(k_motion, self.motion, 1)[0]
+        start_time = self._sample_init_time(k_time, motion_id)
+        ref = self._ref_state(motion_id, start_time)
+        physics = state_from_kinematics(
+            self.model,
+            ref["root_pos"],
+            ref["root_rot"],
+            ref["dof_pos"],
+            ref["root_vel"],
+            ref["root_ang_vel"],
+            ref["dof_vel"],
+        )
+        state = EnvState(
+            physics=physics,
+            key=k_next,
+            motion_id=motion_id,
+            start_time=start_time,
+            progress=jnp.zeros((), jnp.int32),
+            obs=jnp.zeros(self.obs_dim),
+            reward=jnp.zeros(()),
+            reward_raw=jnp.zeros(4),
+            done=jnp.zeros((), bool),
+            terminate=jnp.zeros((), bool),
+            amp_obs=jnp.zeros(self.amp_obs_dim),
+        )
+        return state.replace(obs=self._observe(state), amp_obs=self._amp_obs(state))
+
+    # ------------------------------------------------------------------ #
+    # observations
+    # ------------------------------------------------------------------ #
+
+    def _observe(self, state: EnvState) -> jax.Array:
+        cfg = self.config
+        ph = state.physics
+        self_obs = kernels.compute_humanoid_self_obs_max(
+            ph.body_pos[None],
+            ph.body_rot[None],
+            ph.body_vel[None],
+            ph.body_ang_vel[None],
+            local_root_obs=cfg.local_root_obs,
+            root_height_obs=cfg.root_height_obs,
+        )[0]
+        # task obs targets the NEXT control step (humanoid_im.py:708-729)
+        t_next = self._motion_time(state) + self.model.config.control_dt
+        ref = self._ref_track(state.motion_id, t_next)
+        task_obs = kernels.compute_imitation_observations_v6(
+            ph.root_pos[None],
+            ph.root_rot[None],
+            ph.body_pos[None],
+            ph.body_rot[None],
+            ph.body_vel[None],
+            ph.body_ang_vel[None],
+            ref["rg_pos"][None],
+            ref["rb_rot"][None],
+            ref["body_vel"][None],
+            ref["body_ang_vel"][None],
+        )[0]
+        return jnp.concatenate([self_obs, task_obs])
+
+    def _amp_obs(self, state: EnvState) -> jax.Array:
+        ph = state.physics
+        return kernels.build_amp_observations_smpl(
+            ph.root_pos[None],
+            ph.root_rot[None],
+            ph.body_vel[None, 0],
+            ph.body_ang_vel[None, 0],
+            dof_pos_from_state(ph)[None],
+            dof_vel_from_state(ph)[None],
+            ph.body_pos[None, self.key_body_ids],
+            local_root_obs=self.config.local_root_obs,
+            root_height_obs=self.config.root_height_obs,
+        )[0]
+
+    # ------------------------------------------------------------------ #
+    # step
+    # ------------------------------------------------------------------ #
+
+    def action_to_pd_target(self, action: jax.Array) -> jax.Array:
+        """≙ humanoid.py:1392-1394."""
+        return self.model.pd_action_offset + self.model.pd_action_scale * action
+
+    def step_one(self, state: EnvState, action: jax.Array) -> EnvState:
+        cfg = self.config
+        pd_target = self.action_to_pd_target(action)
+        physics = physics_step(self.model, state.physics, pd_target)
+        progress = state.progress + 1
+        state = state.replace(physics=physics, progress=progress)
+
+        t = self._motion_time(state)
+        ref = self._ref_state(state.motion_id, t)
+
+        reward, reward_raw = kernels.compute_imitation_reward(
+            physics.body_pos[None],
+            physics.body_rot[None],
+            physics.body_vel[None],
+            physics.body_ang_vel[None],
+            ref["rg_pos"][None],
+            ref["rb_rot"][None],
+            ref["body_vel"][None],
+            ref["body_ang_vel"][None],
+            k_pos=cfg.k_pos, k_rot=cfg.k_rot, k_vel=cfg.k_vel, k_ang_vel=cfg.k_ang_vel,
+            w_pos=cfg.w_pos, w_rot=cfg.w_rot, w_vel=cfg.w_vel, w_ang_vel=cfg.w_ang_vel,
+        )
+        reward, reward_raw = reward[0], reward_raw[0]
+        if cfg.power_reward:
+            # PD torque proxy: kp*(target-dof) - kd*dof_vel
+            dof = dof_pos_from_state(physics)
+            dof_vel = dof_vel_from_state(physics)
+            kp = jnp.repeat(self.model.joint_kp, 3)
+            kd = jnp.repeat(self.model.joint_kd, 3)
+            tau = kp * (pd_target - dof) - kd * dof_vel
+            reward = reward + kernels.compute_power_penalty(
+                tau[None], dof_vel[None], cfg.power_coefficient
+            )[0]
+
+        length = self.motion.motion_lengths[state.motion_id]
+        pass_time = (
+            jnp.zeros((), bool)
+            if cfg.cycle_motion
+            else t >= length
+        )
+        if cfg.cycle_motion:
+            pass_time = progress >= cfg.episode_length
+        reset, terminate = kernels.compute_humanoid_im_reset(
+            progress[None],
+            physics.body_pos[None, self.reset_body_ids],
+            ref["rg_pos"][None, self.reset_body_ids],
+            pass_time[None],
+            termination_distance=cfg.termination_distance,
+            use_mean=cfg.use_mean_termination,
+            enable_early_termination=cfg.enable_early_termination,
+        )
+        reset, terminate = reset[0], terminate[0]
+
+        stepped = state.replace(
+            reward=reward,
+            reward_raw=reward_raw,
+            done=reset,
+            terminate=terminate,
+        )
+        stepped = stepped.replace(
+            obs=self._observe(stepped), amp_obs=self._amp_obs(stepped)
+        )
+
+        # in-graph auto-reset: branch-free select between stepped and fresh
+        k_reset, k_keep = jax.random.split(state.key)
+        fresh = self.reset_one(k_reset)
+        next_state = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(reset, (1,) * a.ndim) if a.ndim else reset, a, b
+            ),
+            fresh,
+            stepped.replace(key=k_keep),
+        )
+        # keep the step's reward/done visible to the learner
+        return next_state.replace(
+            reward=reward, reward_raw=reward_raw, done=reset, terminate=terminate
+        )
+
+    # ------------------------------------------------------------------ #
+    # batched API
+    # ------------------------------------------------------------------ #
+
+    def reset(self, keys: jax.Array) -> EnvState:
+        return jax.vmap(self.reset_one)(keys)
+
+    def step(self, states: EnvState, actions: jax.Array) -> EnvState:
+        return jax.vmap(self.step_one)(states, actions)
