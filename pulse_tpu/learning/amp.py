@@ -1,0 +1,233 @@
+"""AMP: adversarial motion prior — discriminator, style rewards, buffers.
+
+Re-designs phc/learning/amp_agent.py:36 (AMPAgent) as pure jitted pieces:
+  - demo fetches sample the motion library directly on device
+    (≙ fetch_amp_obs_demo, humanoid_amp.py:215-284)
+  - demo/replay buffers are fixed-size device ring/reservoir buffers
+    (≙ replay_buffer.py:3-84, amp_agent.py:975-1057)
+  - discriminator loss = BCE + logit L2 + R1 gradient penalty on demo +
+    weight decay (≙ _disc_loss, amp_agent.py:895-952)
+  - style reward = -log(1 - sigmoid(D)) (≙ _calc_disc_rewards,
+    amp_agent.py:1027-1041), mixed with the task reward by
+    task_reward_w/disc_reward_w (≙ _combine_rewards, amp_agent.py:1011-1016)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pulse_tpu.env import kernels
+from pulse_tpu.learning.networks import Discriminator
+from pulse_tpu.learning.running_norm import RunningMeanStd
+from pulse_tpu.motion.motion_lib import get_motion_state, sample_motions, sample_time
+
+
+@dataclasses.dataclass(frozen=True)
+class AMPConfig:
+    disc_units: tuple = (1024, 512)
+    disc_coef: float = 5.0
+    disc_logit_reg: float = 0.01
+    disc_grad_penalty: float = 5.0
+    disc_reward_scale: float = 2.0
+    disc_weight_decay: float = 0.0001
+    disc_learning_rate: float = 2e-5
+    amp_batch_size: int = 512
+    amp_buffer_size: int = 16384     # device-resident (reference: 200k host)
+    replay_keep_prob: float = 0.01
+    task_reward_w: float = 0.5
+    disc_reward_w: float = 0.5
+
+
+@struct.dataclass
+class RingBuffer:
+    """Fixed-size device buffer with wraparound insert + uniform sampling."""
+
+    data: jax.Array     # [N, dim]
+    head: jax.Array     # [] int32
+    size: jax.Array     # [] int32
+
+    @classmethod
+    def create(cls, capacity: int, dim: int) -> "RingBuffer":
+        return cls(
+            data=jnp.zeros((capacity, dim)),
+            head=jnp.zeros((), jnp.int32),
+            size=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+    def push(self, batch: jax.Array) -> "RingBuffer":
+        n = batch.shape[0]
+        cap = self.capacity
+        idx = (self.head + jnp.arange(n)) % cap
+        return self.replace(
+            data=self.data.at[idx].set(batch),
+            head=(self.head + n) % cap,
+            size=jnp.minimum(self.size + n, cap),
+        )
+
+    def sample(self, key: jax.Array, n: int) -> jax.Array:
+        idx = jax.random.randint(key, (n,), 0, jnp.maximum(self.size, 1))
+        return self.data[idx]
+
+
+@struct.dataclass
+class AMPState:
+    disc_params: Any
+    disc_opt_state: Any
+    amp_rms: RunningMeanStd
+    demo_buffer: RingBuffer
+    replay_buffer: RingBuffer
+
+
+class AMPModule:
+    """Composable AMP piece used by AMPAgent/DistillAgent."""
+
+    def __init__(self, env, config: AMPConfig | None = None):
+        self.env = env
+        self.config = config or AMPConfig()
+        self.disc = Discriminator(units=self.config.disc_units)
+        self.optimizer = optax.adam(self.config.disc_learning_rate)
+
+    def init(self, key: jax.Array) -> AMPState:
+        cfg = self.config
+        dim = self.env.amp_obs_dim
+        k_net, k_demo = jax.random.split(key)
+        params = self.disc.init(k_net, jnp.zeros((1, dim)))["params"]
+        state = AMPState(
+            disc_params=params,
+            disc_opt_state=self.optimizer.init(params),
+            amp_rms=RunningMeanStd.create(dim),
+            demo_buffer=RingBuffer.create(cfg.amp_buffer_size, dim),
+            replay_buffer=RingBuffer.create(cfg.amp_buffer_size, dim),
+        )
+        demo = self.fetch_demo(k_demo, cfg.amp_buffer_size // 4)
+        return state.replace(demo_buffer=state.demo_buffer.push(demo))
+
+    # ------------------------------------------------------------------ #
+
+    def fetch_demo(self, key: jax.Array, n: int) -> jax.Array:
+        """Sample AMP observations straight from the motion library
+        (≙ build_amp_obs_demo, humanoid_amp.py:253-284)."""
+        k1, k2 = jax.random.split(key)
+        motion = self.env.motion
+        ids = sample_motions(k1, motion, n)
+        times = sample_time(k2, motion, ids)
+        st = get_motion_state(motion, ids, times)
+        return kernels.build_amp_observations_smpl(
+            st["root_pos"],
+            st["root_rot"],
+            st["root_vel"],
+            st["root_ang_vel"],
+            st["dof_pos"],
+            st["dof_vel"],
+            st["rg_pos"][:, self.env.key_body_ids],
+            local_root_obs=self.env.config.local_root_obs,
+            root_height_obs=self.env.config.root_height_obs,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def disc_reward(self, amp_state: AMPState, amp_obs: jax.Array) -> jax.Array:
+        """Style reward from discriminator logits."""
+        obs_n = amp_state.amp_rms.normalize(amp_obs)
+        logits = self.disc.apply({"params": amp_state.disc_params}, obs_n)
+        prob = jax.nn.sigmoid(logits)
+        return -jnp.log(jnp.maximum(1.0 - prob, 1e-4)) * self.config.disc_reward_scale
+
+    def combine_rewards(self, task_r: jax.Array, disc_r: jax.Array) -> jax.Array:
+        cfg = self.config
+        return cfg.task_reward_w * task_r + cfg.disc_reward_w * disc_r
+
+    # ------------------------------------------------------------------ #
+
+    def _disc_loss(self, params, agent_obs, demo_obs, rms):
+        cfg = self.config
+        agent_n = rms.normalize(agent_obs)
+        demo_n = rms.normalize(demo_obs)
+
+        agent_logits = self.disc.apply({"params": params}, agent_n)
+        def demo_forward(x):
+            return self.disc.apply({"params": params}, x)
+
+        demo_logits, demo_vjp = jax.vjp(demo_forward, demo_n)
+        loss_agent = jnp.mean(jax.nn.softplus(agent_logits))       # -log(1-sig)
+        loss_demo = jnp.mean(jax.nn.softplus(-demo_logits))        # -log(sig)
+        bce = 0.5 * (loss_agent + loss_demo)
+
+        # R1-style gradient penalty on demo samples (amp_agent.py:934-940)
+        (grad_demo,) = demo_vjp(jnp.ones_like(demo_logits))
+        grad_pen = jnp.mean(jnp.sum(grad_demo**2, axis=-1))
+
+        # logit-layer L2 + global weight decay (amp_agent.py:920-931)
+        flat = jax.tree_util.tree_leaves(params)
+        wd = sum(jnp.sum(p**2) for p in flat if p.ndim == 2)
+        # final logit layer is the Discriminator's own top-level Dense
+        logit_reg = jnp.sum(params["Dense_0"]["kernel"] ** 2)
+
+        total = (
+            bce
+            + 0.5 * cfg.disc_grad_penalty * grad_pen
+            + cfg.disc_logit_reg * logit_reg
+            + cfg.disc_weight_decay * wd
+        )
+        acc_agent = jnp.mean((agent_logits < 0).astype(jnp.float32))
+        acc_demo = jnp.mean((demo_logits > 0).astype(jnp.float32))
+        return total, {
+            "disc_loss": bce,
+            "disc_grad_pen": grad_pen,
+            "disc_acc_agent": acc_agent,
+            "disc_acc_demo": acc_demo,
+        }
+
+    def update(
+        self, amp_state: AMPState, key: jax.Array, rollout_amp_obs: jax.Array
+    ) -> tuple[AMPState, dict]:
+        """One discriminator update from rollout data + buffers."""
+        cfg = self.config
+        n = cfg.amp_batch_size
+        flat = rollout_amp_obs.reshape(-1, rollout_amp_obs.shape[-1])
+        k_demo_new, k_demo, k_replay, k_agent, k_mix = jax.random.split(key, 5)
+
+        # refresh demo buffer with fresh motion samples
+        demo_new = self.fetch_demo(k_demo_new, n)
+        demo_buffer = amp_state.demo_buffer.push(demo_new)
+        demo_obs = demo_buffer.sample(k_demo, n)
+
+        # agent batch: current rollout mixed with replay
+        idx = jax.random.randint(k_agent, (n,), 0, flat.shape[0])
+        agent_obs = flat[idx]
+        replay_obs = amp_state.replay_buffer.sample(k_replay, n)
+        use_replay = (
+            jax.random.uniform(k_mix, (n, 1)) < 0.5
+        ) & (amp_state.replay_buffer.size > 0)
+        agent_mix = jnp.where(use_replay, replay_obs, agent_obs)
+
+        rms = amp_state.amp_rms.update(jnp.concatenate([flat, demo_new]))
+        (loss, metrics), grads = jax.value_and_grad(self._disc_loss, has_aux=True)(
+            amp_state.disc_params, agent_mix, demo_obs, rms
+        )
+        updates, opt_state = self.optimizer.update(
+            grads, amp_state.disc_opt_state, amp_state.disc_params
+        )
+        params = optax.apply_updates(amp_state.disc_params, updates)
+
+        replay_buffer = amp_state.replay_buffer.push(agent_obs)
+        return (
+            amp_state.replace(
+                disc_params=params,
+                disc_opt_state=opt_state,
+                amp_rms=rms,
+                demo_buffer=demo_buffer,
+                replay_buffer=replay_buffer,
+            ),
+            metrics,
+        )

@@ -1,0 +1,338 @@
+"""PPO trainer: rollout + GAE + clipped-surrogate updates, fully jitted.
+
+Re-designs the reference's rl-games fork (phc/learning/common_agent.py:34
+CommonAgent: train_epoch/play_steps/discount_values/calc_gradients) as one
+pure function `train_epoch(TrainState) -> (TrainState, metrics)`:
+
+  - rollout is a lax.scan over the horizon with the vmapped env step inside,
+    so sim + policy inference stay on device with zero host transfer
+    (≙ play_steps, amp_agent.py:341 — the reference's hot loop)
+  - GAE uses the reference's terminate-masked bootstrap (common_agent.py:
+    323-325: next value is zeroed on early termination, not on timeout)
+  - minibatch epochs are a scan over shuffled slices (≙ prepare_dataset +
+    train_actor_critic, common_agent.py:357-477)
+
+The same TrainState/`train_epoch` pair shards over a device mesh by placing
+env states and params with jax.sharding (see pulse_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pulse_tpu.learning.networks import ActorCritic
+from pulse_tpu.learning.running_norm import RunningMeanStd
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """≙ im_z_fit.yaml config section defaults."""
+
+    num_envs: int = 64
+    horizon_length: int = 32
+    minibatch_size: int = 512
+    mini_epochs: int = 6
+    gamma: float = 0.99
+    tau: float = 0.95
+    learning_rate: float = 2e-5
+    e_clip: float = 0.2
+    critic_coef: float = 5.0
+    bounds_loss_coef: float = 10.0
+    entropy_coef: float = 0.0
+    grad_norm: float = 50.0
+    normalize_input: bool = True
+    normalize_value: bool = True
+    normalize_advantage: bool = True
+    truncate_grads: bool = True
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    obs_rms: RunningMeanStd
+    value_rms: RunningMeanStd
+    env_state: Any
+    key: jax.Array
+    epoch: jax.Array
+
+
+@struct.dataclass
+class Rollout:
+    obs: jax.Array          # [T, B, O] (raw)
+    actions: jax.Array      # [T, B, A]
+    neglogp: jax.Array      # [T, B]
+    values: jax.Array       # [T, B] (denormalized)
+    rewards: jax.Array      # [T, B]
+    dones: jax.Array        # [T, B]
+    terminates: jax.Array   # [T, B]
+    amp_obs: jax.Array      # [T, B, AO]
+    mus: jax.Array          # [T, B, A]
+
+
+def gaussian_neglogp(mu, log_sigma, action):
+    d = action - mu
+    return 0.5 * jnp.sum((d / jnp.exp(log_sigma)) ** 2, axis=-1) + jnp.sum(
+        log_sigma
+    ) + 0.5 * mu.shape[-1] * jnp.log(2 * jnp.pi)
+
+
+class PPOAgent:
+    """Owns static pieces (env, network, optimizer, config); all methods that
+    touch data are pure and jittable."""
+
+    def __init__(
+        self,
+        env,
+        config: PPOConfig | None = None,
+        network: ActorCritic | None = None,
+        reward_fn: Callable | None = None,
+    ):
+        self.env = env
+        self.config = config or PPOConfig()
+        self.network = network or ActorCritic(action_dim=env.action_dim)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(self.config.grad_norm)
+            if self.config.truncate_grads
+            else optax.identity(),
+            optax.adam(self.config.learning_rate),
+        )
+        # hook for AMP-style reward mixing: (train_state, rollout) -> rewards
+        self.reward_fn = reward_fn
+
+    # ------------------------------------------------------------------ #
+
+    def init(self, key: jax.Array) -> TrainState:
+        cfg = self.config
+        k_env, k_net, k_next = jax.random.split(key, 3)
+        env_state = self.env.reset(jax.random.split(k_env, cfg.num_envs))
+        obs0 = jnp.zeros((1, self.env.obs_dim))
+        variables = self.network.init(k_net, obs0)
+        params = variables["params"]
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            obs_rms=RunningMeanStd.create(self.env.obs_dim),
+            value_rms=RunningMeanStd.create(1),
+            env_state=env_state,
+            key=k_next,
+            epoch=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _apply(self, params, obs_norm):
+        mu, log_sigma, value_norm = self.network.apply({"params": params}, obs_norm)
+        return mu, log_sigma, value_norm
+
+    def _policy_step(self, ts: TrainState, env_state, key):
+        obs = env_state.obs
+        obs_norm = ts.obs_rms.normalize(obs) if self.config.normalize_input else obs
+        mu, log_sigma, value_norm = self._apply(ts.params, obs_norm)
+        value = (
+            ts.value_rms.denormalize(value_norm[..., None])[..., 0]
+            if self.config.normalize_value
+            else value_norm
+        )
+        eps = jax.random.normal(key, mu.shape)
+        action = mu + jnp.exp(log_sigma) * eps
+        neglogp = gaussian_neglogp(mu, log_sigma, action)
+        return action, mu, neglogp, value
+
+    def rollout(self, ts: TrainState) -> tuple[TrainState, Rollout, jax.Array]:
+        cfg = self.config
+
+        def scan_step(carry, _):
+            env_state, key = carry
+            key, k_act = jax.random.split(key)
+            action, mu, neglogp, value = self._policy_step(ts, env_state, k_act)
+            next_env_state = self.env.step(env_state, jnp.clip(action, -1.0, 1.0))
+            out = Rollout(
+                obs=env_state.obs,
+                actions=action,
+                neglogp=neglogp,
+                values=value,
+                rewards=next_env_state.reward,
+                dones=next_env_state.done,
+                terminates=next_env_state.terminate,
+                amp_obs=next_env_state.amp_obs,
+                mus=mu,
+            )
+            return (next_env_state, key), out
+
+        key, k_roll = jax.random.split(ts.key)
+        (env_state, _), traj = jax.lax.scan(
+            scan_step, (ts.env_state, k_roll), None, length=cfg.horizon_length
+        )
+        # bootstrap value of the final observation
+        obs_norm = (
+            ts.obs_rms.normalize(env_state.obs)
+            if cfg.normalize_input
+            else env_state.obs
+        )
+        _, _, last_value_norm = self._apply(ts.params, obs_norm)
+        last_value = (
+            ts.value_rms.denormalize(last_value_norm[..., None])[..., 0]
+            if cfg.normalize_value
+            else last_value_norm
+        )
+        ts = ts.replace(env_state=env_state, key=key)
+        return ts, traj, last_value
+
+    # ------------------------------------------------------------------ #
+
+    def compute_gae(self, traj: Rollout, last_value: jax.Array):
+        """≙ discount_values (common_agent.py:480-490): early termination
+        zeroes the bootstrap; episode-end (timeout) keeps it."""
+        cfg = self.config
+
+        def scan_fn(carry, t):
+            last_gae = carry
+            not_term = 1.0 - t["terminate"]
+            not_done = 1.0 - t["done"]
+            delta = t["reward"] + cfg.gamma * t["next_value"] * not_term - t["value"]
+            last_gae = delta + cfg.gamma * cfg.tau * not_done * last_gae
+            return last_gae, last_gae
+
+        next_values = jnp.concatenate([traj.values[1:], last_value[None]], axis=0)
+        # the value after a done belongs to the NEXT episode; bootstrap with
+        # the pre-reset convention of the reference: next_value comes from the
+        # stored next obs value, masked by terminate
+        xs = {
+            "reward": traj.rewards,
+            "value": traj.values,
+            "next_value": next_values,
+            "terminate": traj.terminates.astype(jnp.float32),
+            "done": traj.dones.astype(jnp.float32),
+        }
+        _, advantages = jax.lax.scan(
+            scan_fn, jnp.zeros_like(last_value), jax.tree.map(lambda x: x[::-1], xs)
+        )
+        advantages = advantages[::-1]
+        returns = advantages + traj.values
+        return advantages, returns
+
+    # ------------------------------------------------------------------ #
+
+    def _loss(self, params, batch, obs_rms, value_rms):
+        cfg = self.config
+        obs_norm = obs_rms.normalize(batch["obs"]) if cfg.normalize_input else batch["obs"]
+        mu, log_sigma, value_norm = self._apply(params, obs_norm)
+        neglogp = gaussian_neglogp(mu, log_sigma, batch["actions"])
+
+        ratio = jnp.exp(batch["neglogp"] - neglogp)
+        adv = batch["advantages"]
+        surr1 = adv * ratio
+        surr2 = adv * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        a_loss = -jnp.minimum(surr1, surr2).mean()
+
+        target = batch["returns_norm"] if cfg.normalize_value else batch["returns"]
+        c_loss = 0.5 * jnp.mean((value_norm - target) ** 2)
+
+        # bound loss (≙ common_agent bound_loss: penalize |mu| beyond 1.1)
+        soft = 1.1
+        b_loss = jnp.mean(
+            jnp.sum(
+                jnp.clip(mu - soft, 0.0, None) ** 2
+                + jnp.clip(mu + soft, None, 0.0) ** 2,
+                axis=-1,
+            )
+        )
+
+        entropy = jnp.sum(log_sigma + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+        total = (
+            a_loss
+            + cfg.critic_coef * c_loss
+            + cfg.bounds_loss_coef * b_loss
+            - cfg.entropy_coef * entropy
+        )
+        metrics = {
+            "a_loss": a_loss,
+            "c_loss": c_loss,
+            "b_loss": b_loss,
+            "entropy": entropy,
+        }
+        return total, metrics
+
+    def update(self, ts: TrainState, traj: Rollout, advantages, returns):
+        cfg = self.config
+        T, B = traj.rewards.shape
+        N = T * B
+        flat = {
+            "obs": traj.obs.reshape(N, -1),
+            "actions": traj.actions.reshape(N, -1),
+            "neglogp": traj.neglogp.reshape(N),
+            "advantages": advantages.reshape(N),
+            "returns": returns.reshape(N),
+        }
+        obs_rms = ts.obs_rms.update(flat["obs"]) if cfg.normalize_input else ts.obs_rms
+        value_rms = (
+            ts.value_rms.update(returns.reshape(N, 1))
+            if cfg.normalize_value
+            else ts.value_rms
+        )
+        flat["returns_norm"] = value_rms.normalize(flat["returns"][:, None])[:, 0]
+        if cfg.normalize_advantage:
+            adv = flat["advantages"]
+            flat["advantages"] = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+        mb = min(cfg.minibatch_size, N)
+        num_mb = N // mb
+
+        def mini_epoch(carry, key):
+            params, opt_state = carry
+            perm = jax.random.permutation(key, N)
+            shuffled = jax.tree.map(lambda x: x[perm], flat)
+
+            def mb_step(carry, i):
+                params, opt_state = carry
+                batch = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb), shuffled
+                )
+                (loss, metrics), grads = jax.value_and_grad(
+                    self._loss, has_aux=True
+                )(params, batch, obs_rms, value_rms)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                mb_step, (params, opt_state), jnp.arange(num_mb)
+            )
+            return (params, opt_state), metrics
+
+        key, k_upd = jax.random.split(ts.key)
+        keys = jax.random.split(k_upd, cfg.mini_epochs)
+        (params, opt_state), metrics = jax.lax.scan(
+            mini_epoch, (ts.params, ts.opt_state), keys
+        )
+        ts = ts.replace(
+            params=params,
+            opt_state=opt_state,
+            obs_rms=obs_rms,
+            value_rms=value_rms,
+            key=key,
+            epoch=ts.epoch + 1,
+        )
+        return ts, jax.tree.map(jnp.mean, metrics)
+
+    # ------------------------------------------------------------------ #
+
+    def train_epoch(self, ts: TrainState):
+        """One full PPO epoch: rollout horizon steps on all envs + update."""
+        ts, traj, last_value = self.rollout(ts)
+        if self.reward_fn is not None:
+            traj = traj.replace(rewards=self.reward_fn(ts, traj))
+        advantages, returns = self.compute_gae(traj, last_value)
+        ts, metrics = self.update(ts, traj, advantages, returns)
+        metrics = dict(metrics)
+        metrics["reward_mean"] = traj.rewards.mean()
+        metrics["episode_done_frac"] = traj.dones.mean()
+        return ts, metrics
