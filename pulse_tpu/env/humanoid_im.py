@@ -56,6 +56,7 @@ class EnvConfig:
     power_reward: bool = False
     power_coefficient: float = 0.0005
     cycle_motion: bool = False
+    num_amp_obs_steps: int = 10     # discriminator window (humanoid_amp.py:91)
     key_bodies: Sequence[str] = DEFAULT_KEY_BODIES
     reset_bodies: Sequence[str] = DEFAULT_RESET_BODIES
     # reward specs (humanoid_im.py:55)
@@ -83,7 +84,13 @@ class EnvState:
     reward_raw: jax.Array      # [4]
     done: jax.Array            # bool []
     terminate: jax.Array       # bool []
-    amp_obs: jax.Array         # [amp_obs_dim]
+    amp_hist: jax.Array        # [S, amp_obs_dim_single] newest first
+    recovery_counter: jax.Array = 0  # steps of termination grace (getup)
+
+    @property
+    def amp_obs(self) -> jax.Array:
+        """Stacked discriminator observation (humanoid_amp.py:116-120)."""
+        return self.amp_hist.reshape(*self.amp_hist.shape[:-2], -1)
 
 
 class HumanoidImEnv:
@@ -112,10 +119,11 @@ class HumanoidImEnv:
         self.task_obs_dim = self.config.num_traj_samples * J * 24
         self.obs_dim = self.self_obs_dim + self.task_obs_dim
         D = model.num_dof
-        self.amp_obs_dim = (
+        self.amp_obs_dim_single = (
             (1 if self.config.root_height_obs else 0)
             + 6 + 3 + 3 + 2 * D + D + 3 * len(self.key_body_ids)
         )
+        self.amp_obs_dim = self.config.num_amp_obs_steps * self.amp_obs_dim_single
         self.action_dim = D
 
     # ------------------------------------------------------------------ #
@@ -194,9 +202,30 @@ class HumanoidImEnv:
             reward_raw=jnp.zeros(4),
             done=jnp.zeros((), bool),
             terminate=jnp.zeros((), bool),
-            amp_obs=jnp.zeros(self.amp_obs_dim),
+            amp_hist=self._init_amp_hist(motion_id, start_time),
+            recovery_counter=jnp.zeros((), jnp.int32),
         )
-        return state.replace(obs=self._observe(state), amp_obs=self._amp_obs(state))
+        return state.replace(obs=self._observe(state))
+
+    def _init_amp_hist(self, motion_id, start_time) -> jax.Array:
+        """Fill the discriminator window from the motion's past frames
+        (≙ _init_amp_obs_ref path on RSI resets)."""
+        S = self.config.num_amp_obs_steps
+        dt = self.model.config.control_dt
+        times = jnp.maximum(start_time - jnp.arange(S, dtype=jnp.float32) * dt, 0.0)
+        ids = jnp.broadcast_to(motion_id, (S,))
+        st = get_motion_state(self.motion, ids, times)
+        return kernels.build_amp_observations_smpl(
+            st["root_pos"],
+            st["root_rot"],
+            st["root_vel"],
+            st["root_ang_vel"],
+            st["dof_pos"],
+            st["dof_vel"],
+            st["rg_pos"][:, self.key_body_ids],
+            local_root_obs=self.config.local_root_obs,
+            root_height_obs=self.config.root_height_obs,
+        )
 
     # ------------------------------------------------------------------ #
     # observations
@@ -252,6 +281,20 @@ class HumanoidImEnv:
         """≙ humanoid.py:1392-1394."""
         return self.model.pd_action_offset + self.model.pd_action_scale * action
 
+    def _termination(self, state: EnvState, ref: dict, pass_time: jax.Array):
+        """Reset/terminate flags; overridable (getup adds a grace window)."""
+        cfg = self.config
+        reset, terminate = kernels.compute_humanoid_im_reset(
+            state.progress[None],
+            state.physics.body_pos[None, self.reset_body_ids],
+            ref["rg_pos"][None, self.reset_body_ids],
+            pass_time[None],
+            termination_distance=cfg.termination_distance,
+            use_mean=cfg.use_mean_termination,
+            enable_early_termination=cfg.enable_early_termination,
+        )
+        return reset[0], terminate[0]
+
     def step_one(self, state: EnvState, action: jax.Array) -> EnvState:
         cfg = self.config
         pd_target = self.action_to_pd_target(action)
@@ -294,16 +337,7 @@ class HumanoidImEnv:
         )
         if cfg.cycle_motion:
             pass_time = progress >= cfg.episode_length
-        reset, terminate = kernels.compute_humanoid_im_reset(
-            progress[None],
-            physics.body_pos[None, self.reset_body_ids],
-            ref["rg_pos"][None, self.reset_body_ids],
-            pass_time[None],
-            termination_distance=cfg.termination_distance,
-            use_mean=cfg.use_mean_termination,
-            enable_early_termination=cfg.enable_early_termination,
-        )
-        reset, terminate = reset[0], terminate[0]
+        reset, terminate = self._termination(state, ref, pass_time)
 
         stepped = state.replace(
             reward=reward,
@@ -311,9 +345,10 @@ class HumanoidImEnv:
             done=reset,
             terminate=terminate,
         )
-        stepped = stepped.replace(
-            obs=self._observe(stepped), amp_obs=self._amp_obs(stepped)
+        amp_hist = jnp.roll(state.amp_hist, 1, axis=0).at[0].set(
+            self._amp_obs(stepped)
         )
+        stepped = stepped.replace(obs=self._observe(stepped), amp_hist=amp_hist)
 
         # in-graph auto-reset: branch-free select between stepped and fresh
         k_reset, k_keep = jax.random.split(state.key)

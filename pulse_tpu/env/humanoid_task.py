@@ -43,6 +43,7 @@ class TaskConfig:
     local_root_obs: bool = True
     root_height_obs: bool = True
     state_init: str = "Random"
+    num_amp_obs_steps: int = 10
     key_bodies: tuple = DEFAULT_KEY_BODIES
     contact_bodies: tuple = DEFAULT_CONTACT_BODIES
     power_reward: bool = False
@@ -80,7 +81,11 @@ class TaskEnvState:
     reward_raw: jax.Array
     done: jax.Array
     terminate: jax.Array
-    amp_obs: jax.Array
+    amp_hist: jax.Array        # [S, amp_obs_dim_single] newest first
+
+    @property
+    def amp_obs(self) -> jax.Array:
+        return self.amp_hist.reshape(*self.amp_hist.shape[:-2], -1)
 
 
 class HumanoidTaskEnv:
@@ -113,10 +118,11 @@ class HumanoidTaskEnv:
         )
         self.obs_dim = self.self_obs_dim + self.task_obs_dim
         D = model.num_dof
-        self.amp_obs_dim = (
+        self.amp_obs_dim_single = (
             (1 if self.config.root_height_obs else 0)
             + 6 + 3 + 3 + 2 * D + D + 3 * len(self.key_body_ids)
         )
+        self.amp_obs_dim = self.config.num_amp_obs_steps * self.amp_obs_dim_single
         self.action_dim = D
 
     # ---- task hooks (override) --------------------------------------- #
@@ -188,9 +194,27 @@ class HumanoidTaskEnv:
             reward_raw=jnp.zeros(self.reward_raw_dim),
             done=jnp.zeros((), bool),
             terminate=jnp.zeros((), bool),
-            amp_obs=jnp.zeros(self.amp_obs_dim),
+            amp_hist=self._init_amp_hist(motion_id, t0),
         )
-        return state.replace(obs=self._observe(state), amp_obs=self._amp_obs(physics))
+        return state.replace(obs=self._observe(state))
+
+    def _init_amp_hist(self, motion_id, start_time) -> jax.Array:
+        S = self.config.num_amp_obs_steps
+        dt = self.model.config.control_dt
+        times = jnp.maximum(start_time - jnp.arange(S, dtype=jnp.float32) * dt, 0.0)
+        ids = jnp.broadcast_to(motion_id, (S,))
+        st = get_motion_state(self.motion, ids, times)
+        return kernels.build_amp_observations_smpl(
+            st["root_pos"],
+            st["root_rot"],
+            st["root_vel"],
+            st["root_ang_vel"],
+            st["dof_pos"],
+            st["dof_vel"],
+            st["rg_pos"][:, self.key_body_ids],
+            local_root_obs=self.config.local_root_obs,
+            root_height_obs=self.config.root_height_obs,
+        )
 
     def action_to_pd_target(self, action: jax.Array) -> jax.Array:
         return self.model.pd_action_offset + self.model.pd_action_scale * action
@@ -229,9 +253,8 @@ class HumanoidTaskEnv:
         stepped = state.replace(
             reward=reward, reward_raw=reward_raw, done=reset, terminate=terminate
         )
-        stepped = stepped.replace(
-            obs=self._observe(stepped), amp_obs=self._amp_obs(physics)
-        )
+        amp_hist = jnp.roll(state.amp_hist, 1, axis=0).at[0].set(self._amp_obs(physics))
+        stepped = stepped.replace(obs=self._observe(stepped), amp_hist=amp_hist)
 
         k_reset, k_keep = jax.random.split(state.key)
         fresh = self.reset_one(k_reset)

@@ -78,9 +78,12 @@ def im_eval(
             state, failed, sums = carry
             action = policy_fn(state.obs)
             state = env.step(state, action)
-            t = state.start_time + state.progress.astype(jnp.float32) * dt
-            active = t <= lengths  # still within the clip
-            ref = get_motion_state(motion, motion_ids, t)
+            # local clock: clips all start at t=0 (robust to any env-internal
+            # auto-reset; pass the env with early termination disabled)
+            t = (i.astype(jnp.float32) + 1.0) * dt
+            t_b = jnp.broadcast_to(t, (B,))
+            active = t_b <= lengths  # still within the clip
+            ref = get_motion_state(motion, motion_ids, t_b)
 
             body_pos = state.physics.body_pos
             ref_pos = ref["rg_pos"]

@@ -115,14 +115,20 @@ class AMPModule:
     # ------------------------------------------------------------------ #
 
     def fetch_demo(self, key: jax.Array, n: int) -> jax.Array:
-        """Sample AMP observations straight from the motion library
-        (≙ build_amp_obs_demo, humanoid_amp.py:253-284)."""
+        """Sample stacked AMP observation windows from the motion library
+        (≙ fetch_amp_obs_demo/build_amp_obs_demo, humanoid_amp.py:215-284):
+        each demo is num_amp_obs_steps consecutive frames, newest first."""
         k1, k2 = jax.random.split(key)
         motion = self.env.motion
+        S = getattr(self.env.config, "num_amp_obs_steps", 1)
+        dt = self.env.model.config.control_dt
         ids = sample_motions(k1, motion, n)
-        times = sample_time(k2, motion, ids)
-        st = get_motion_state(motion, ids, times)
-        return kernels.build_amp_observations_smpl(
+        t0 = sample_time(k2, motion, ids, truncate_time=dt * (S - 1)) + dt * (S - 1)
+        # window times [n, S]: t0, t0-dt, ...
+        times = t0[:, None] - jnp.arange(S, dtype=jnp.float32)[None, :] * dt
+        flat_ids = jnp.repeat(ids, S)
+        st = get_motion_state(motion, flat_ids, times.reshape(-1))
+        obs = kernels.build_amp_observations_smpl(
             st["root_pos"],
             st["root_rot"],
             st["root_vel"],
@@ -133,6 +139,7 @@ class AMPModule:
             local_root_obs=self.env.config.local_root_obs,
             root_height_obs=self.env.config.root_height_obs,
         )
+        return obs.reshape(n, -1)
 
     # ------------------------------------------------------------------ #
 

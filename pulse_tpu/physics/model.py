@@ -65,6 +65,9 @@ class Model:
     parents: tuple = struct.field(pytree_node=False)       # len J, -1 root
     num_bodies: int = struct.field(pytree_node=False)
     config: PhysicsConfig = struct.field(pytree_node=False)
+    # bodies grouped by tree depth for level-parallel passes: tuple of
+    # (body_ids tuple, parent_ids tuple) per level, root first
+    levels: tuple = struct.field(pytree_node=False, default=())
 
     # kinematics
     local_translation: jax.Array = None   # [J, 3] joint origin in parent frame
@@ -190,10 +193,19 @@ def build_model(spec: RobotSpec, config: PhysicsConfig | None = None) -> Model:
         spec.dof_lower, spec.dof_upper, joint_names
     )
 
+    level_groups = tuple(
+        (
+            tuple(int(b) for b in lvl),
+            tuple(int(tree.parent_indices[b]) for b in lvl),
+        )
+        for lvl in tree.levels
+    )
+
     return Model(
         parents=tuple(int(p) for p in tree.parent_indices),
         num_bodies=J,
         config=config,
+        levels=level_groups,
         local_translation=jnp.asarray(tree.local_translation),
         body_mass=jnp.asarray(spec.body_mass),
         body_com=jnp.asarray(spec.body_com),

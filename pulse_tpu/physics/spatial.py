@@ -118,3 +118,56 @@ def spatial_inertia(mass: jax.Array, com: jax.Array, inertia_com: jax.Array) -> 
 def mul_inertia(I: jax.Array, v: jax.Array) -> jax.Array:
     """I @ v for a 6x6 spatial inertia and motion vector."""
     return jnp.einsum("...ij,...j->...i", I, v)
+
+
+# --------------------------------------------------------------------------- #
+# closed-form small-matrix solves. XLA lowers jnp.linalg.inv/solve to LU
+# loops that are catastrophically slow for tiny batched matrices on TPU;
+# these are pure fused elementwise formulas instead.
+# --------------------------------------------------------------------------- #
+
+def inv3(m: jax.Array) -> jax.Array:
+    """Batched 3x3 inverse via the adjugate formula."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I_ = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / det
+    out = jnp.stack(
+        [
+            jnp.stack([A, B, C], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I_], axis=-1),
+        ],
+        axis=-2,
+    )
+    return out * inv_det[..., None, None]
+
+
+def solve6_sym(M: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve M x = rhs for symmetric positive-definite 6x6 M via 2x2-block
+    Schur complement with closed-form 3x3 inverses (fully elementwise)."""
+    A = M[..., 0:3, 0:3]
+    B = M[..., 0:3, 3:6]
+    C = M[..., 3:6, 3:6]
+    r0 = rhs[..., 0:3]
+    r1 = rhs[..., 3:6]
+    Ainv = inv3(A)
+    BtAinv = jnp.einsum("...ji,...jk->...ik", B, Ainv)       # B^T A^-1
+    S = C - jnp.einsum("...ij,...jk->...ik", BtAinv, B)      # Schur complement
+    Sinv = inv3(S)
+    y = r1 - jnp.einsum("...ij,...j->...i", BtAinv, r0)
+    x1 = jnp.einsum("...ij,...j->...i", Sinv, y)
+    x0 = jnp.einsum(
+        "...ij,...j->...i", Ainv, r0 - jnp.einsum("...ij,...j->...i", B, x1)
+    )
+    return jnp.concatenate([x0, x1], axis=-1)

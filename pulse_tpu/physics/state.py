@@ -20,6 +20,7 @@ parameterization avoids exp-map singularities during integration.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -46,36 +47,46 @@ class PhysicsState:
 
 
 def _fk_world(model: Model, root_pos, root_rot, joint_rot):
-    """World rotations/positions of all bodies from generalized coords."""
+    """World rotations/positions of all bodies from generalized coords.
+
+    Level-parallel: each tree depth is one batched gather+compose step
+    (9 levels for the SMPL humanoid instead of 24 sequential bodies)."""
+
+
     J = model.num_bodies
-    rots = [root_rot]
-    poss = [root_pos]
-    for i in range(1, J):
-        p = model.parents[i]
-        r = q.quat_mul_norm(rots[p], joint_rot[i - 1])
-        x = poss[p] + q.quat_rotate(rots[p], model.local_translation[i])
-        rots.append(r)
-        poss.append(x)
-    return jnp.stack(rots), jnp.stack(poss)
+    rots = jnp.zeros((J, 4)).at[0].set(root_rot)
+    poss = jnp.zeros((J, 3)).at[0].set(root_pos)
+    for body_ids, parent_ids in model.levels[1:]:
+        b = np.asarray(body_ids)
+        p = np.asarray(parent_ids)
+        p_rot = rots[p]
+        rots = rots.at[b].set(q.quat_mul_norm(p_rot, joint_rot[b - 1]))
+        poss = poss.at[b].set(
+            poss[p] + q.quat_rotate(p_rot, model.local_translation[b])
+        )
+    return rots, poss
 
 
 def refresh_kinematics(model: Model, state: PhysicsState) -> PhysicsState:
     """Recompute derived world-frame body states from generalized coords."""
+
+
     body_rot, body_pos = _fk_world(model, state.root_pos, state.root_rot, state.joint_rot)
 
-    # propagate world velocities down the tree
-    w = [q.quat_rotate(state.root_rot, state.root_vel6[0:3])]
-    v = [q.quat_rotate(state.root_rot, state.root_vel6[3:6])]
-    for i in range(1, model.num_bodies):
-        p = model.parents[i]
-        r = body_pos[i] - body_pos[p]
-        v.append(v[p] + jnp.cross(w[p], r))
-        w.append(w[p] + q.quat_rotate(body_rot[i], state.joint_omega[i - 1]))
+    J = model.num_bodies
+    w = jnp.zeros((J, 3)).at[0].set(q.quat_rotate(state.root_rot, state.root_vel6[0:3]))
+    v = jnp.zeros((J, 3)).at[0].set(q.quat_rotate(state.root_rot, state.root_vel6[3:6]))
+    for body_ids, parent_ids in model.levels[1:]:
+        b = np.asarray(body_ids)
+        p = np.asarray(parent_ids)
+        r = body_pos[b] - body_pos[p]
+        v = v.at[b].set(v[p] + jnp.cross(w[p], r))
+        w = w.at[b].set(w[p] + q.quat_rotate(body_rot[b], state.joint_omega[b - 1]))
     return state.replace(
         body_pos=body_pos,
         body_rot=body_rot,
-        body_vel=jnp.stack(v),
-        body_ang_vel=jnp.stack(w),
+        body_vel=v,
+        body_ang_vel=w,
     )
 
 

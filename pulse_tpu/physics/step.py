@@ -14,8 +14,9 @@ import jax.numpy as jnp
 
 from pulse_tpu.ops import quat as q
 from pulse_tpu.physics import spatial as sp
+from pulse_tpu.physics.aba_fast import aba_fast
 from pulse_tpu.physics.contact import plane_contact_forces
-from pulse_tpu.physics.dynamics import aba, spd_joint_torques
+from pulse_tpu.physics.dynamics import spd_joint_torques
 from pulse_tpu.physics.model import Model
 from pulse_tpu.physics.state import PhysicsState, refresh_kinematics
 
@@ -27,7 +28,7 @@ def _substep(model: Model, state: PhysicsState, pd_target_dof: jax.Array, h: flo
         model, state.body_pos, state.body_rot, state.body_vel, state.body_ang_vel
     )
     tau, d_extra = spd_joint_torques(model, state, pd_target_dof, h)
-    a0, qdd = aba(model, state, tau, f_ext, state.body_rot, h, d_extra)
+    a0, qdd = aba_fast(model, state, tau, f_ext, state.body_rot, h, d_extra)
 
     # semi-implicit Euler: velocities first, then positions
     root_vel6 = state.root_vel6 + h * a0

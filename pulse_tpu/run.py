@@ -1,0 +1,333 @@
+"""CLI entry point: config-driven training / evaluation.
+
+≙ phc/run_hydra.py:270-345 (hydra main: seed, checkpoint resolution, runner
+build) re-imagined: `python -m pulse_tpu.run env=im learning=im_ppo
+num_envs=64 max_epochs=200 exp_name=smoke` composes the YAML config tree,
+builds env + agent, jits the train epoch (optionally over a device mesh),
+and runs the training loop with JSONL metric logging and orbax checkpoints.
+`test=true` runs the im_eval harness instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_model_from_cfg(cfg):
+    from pulse_tpu.assets import load_smpl_humanoid
+    from pulse_tpu.physics import PhysicsConfig, build_model
+
+    sim = cfg["sim"]
+    pc = PhysicsConfig(
+        dt=float(sim["dt"]),
+        substeps=int(sim["substeps"]),
+        control_freq_inv=int(sim["control_freq_inv"]),
+        gravity=float(sim["gravity"]),
+        contact_stiffness=float(sim["contact_stiffness"]),
+        contact_damping=float(sim["contact_damping"]),
+        friction_regularization=float(sim["friction_regularization"]),
+        limit_stiffness=float(sim["limit_stiffness"]),
+        limit_damping=float(sim["limit_damping"]),
+        kp_scale=float(sim["kp_scale"]),
+        kd_scale=float(sim["kd_scale"]),
+    )
+    spec = load_smpl_humanoid()
+    return spec, build_model(spec, pc)
+
+
+def build_motion_from_cfg(cfg, spec):
+    from pulse_tpu.motion import build_motion_data, make_synthetic_clips
+    from pulse_tpu.motion.loader import load_motion_file
+
+    motion_file = cfg["env"].get("motion_file", "")
+    if motion_file:
+        clips = load_motion_file(motion_file, spec.skeleton)
+    else:
+        clips = make_synthetic_clips(
+            spec.skeleton, num_clips=int(cfg["env"].get("num_synthetic_clips", 4))
+        )
+    return build_motion_data(spec.skeleton, clips)
+
+
+def build_env_from_cfg(cfg, model, motion):
+    from pulse_tpu.env import EnvConfig, HumanoidImEnv
+    from pulse_tpu.env.humanoid_task import (
+        HumanoidReachEnv,
+        HumanoidSpeedEnv,
+        HumanoidTrajEnv,
+        TaskConfig,
+    )
+
+    e = cfg["env"]
+    task = e["task"]
+    if task == "HumanoidIm":
+        ec = EnvConfig(
+            episode_length=int(e["episode_length"]),
+            termination_distance=float(e["termination_distance"]),
+            enable_early_termination=bool(e["enable_early_termination"]),
+            use_mean_termination=bool(e["use_mean_termination"]),
+            num_traj_samples=int(e["num_traj_samples"]),
+            traj_sample_timestep=float(e["traj_sample_timestep"]),
+            local_root_obs=bool(e["local_root_obs"]),
+            root_height_obs=bool(e["root_height_obs"]),
+            state_init=str(e["state_init"]),
+            hybrid_init_prob=float(e["hybrid_init_prob"]),
+            power_reward=bool(e["power_reward"]),
+            power_coefficient=float(e["power_coefficient"]),
+            cycle_motion=bool(e["cycle_motion"]),
+        )
+        return HumanoidImEnv(model, motion, ec)
+
+    tc_kwargs = dict(
+        episode_length=int(e["episode_length"]),
+        termination_height=float(e.get("termination_height", 0.15)),
+        enable_early_termination=bool(e["enable_early_termination"]),
+    )
+    if task in ("HumanoidSpeed", "HumanoidSpeedZ"):
+        tc = TaskConfig(
+            tar_speed_min=float(e.get("tar_speed_min", 0.0)),
+            tar_speed_max=float(e.get("tar_speed_max", 5.0)),
+            **tc_kwargs,
+        )
+        env = HumanoidSpeedEnv(model, motion, tc)
+    elif task in ("HumanoidReach", "HumanoidReachZ"):
+        tc = TaskConfig(reach_body=str(e.get("reach_body", "R_Hand")), **tc_kwargs)
+        env = HumanoidReachEnv(model, motion, tc)
+    elif task in ("HumanoidTraj", "HumanoidTrajZ"):
+        tc = TaskConfig(**tc_kwargs)
+        env = HumanoidTrajEnv(model, motion, tc)
+    else:
+        raise ValueError(f"unknown task {task!r}")
+
+    if task.endswith("Z"):
+        env = wrap_env_z(cfg, env)
+    return env
+
+
+def wrap_env_z(cfg, env):
+    """Wrap a task env with the frozen PULSE decoder (≙ HumanoidZ mixin)."""
+    from pulse_tpu.env.humanoid_z import FrozenZModel, ZActionWrapper
+    from pulse_tpu.learning.networks import PulseVAE
+    from pulse_tpu.learning.running_norm import RunningMeanStd
+    from pulse_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+    latent_dim = int(cfg["env"].get("embedding_size", 32))
+    net = PulseVAE(
+        action_dim=env.action_dim, latent_dim=latent_dim,
+        self_obs_dim=env.self_obs_dim,
+    )
+    ckpt_dir = cfg["env"].get("z_checkpoint", "")
+    if ckpt_dir:
+        raise NotImplementedError(
+            "loading a distill checkpoint for Z tasks requires the saved "
+            "DistillState; use pulse_tpu.utils.checkpoint.extract_frozen_z_model"
+        )
+    # untrained decoder (functional smoke path when no checkpoint given)
+    obs_dim = env.obs_dim
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, obs_dim)), jnp.zeros((1, latent_dim))
+    )["params"]
+    frozen = FrozenZModel(params=params, obs_rms=RunningMeanStd.create(obs_dim))
+    return ZActionWrapper(env, net, frozen)
+
+
+def build_agent_from_cfg(cfg, env):
+    from pulse_tpu.learning.amp import AMPConfig
+    from pulse_tpu.learning.amp_agent import AMPAgent
+    from pulse_tpu.learning.distill import DistillAgent, DistillConfig
+    from pulse_tpu.learning.networks import ActorCritic, PulseVAE
+    from pulse_tpu.learning.ppo import PPOAgent, PPOConfig
+
+    l = cfg["learning"]
+    kind = l["agent"]
+    num_envs = int(cfg["num_envs"])
+    if kind in ("ppo", "amp"):
+        ppo_cfg = PPOConfig(
+            num_envs=num_envs,
+            horizon_length=int(l["horizon_length"]),
+            minibatch_size=int(l["minibatch_size"]),
+            mini_epochs=int(l["mini_epochs"]),
+            gamma=float(l["gamma"]),
+            tau=float(l["tau"]),
+            learning_rate=float(l["learning_rate"]),
+            e_clip=float(l["e_clip"]),
+            critic_coef=float(l["critic_coef"]),
+            bounds_loss_coef=float(l["bounds_loss_coef"]),
+            grad_norm=float(l["grad_norm"]),
+            normalize_input=bool(l["normalize_input"]),
+            normalize_value=bool(l["normalize_value"]),
+            normalize_advantage=bool(l["normalize_advantage"]),
+        )
+        net = ActorCritic(
+            action_dim=env.action_dim,
+            actor_units=tuple(l["actor_units"]),
+            critic_units=tuple(l["critic_units"]),
+            init_sigma=float(l["init_sigma"]),
+        )
+        if kind == "ppo":
+            return PPOAgent(env, ppo_cfg, net)
+        amp_cfg = AMPConfig(
+            disc_units=tuple(l["disc_units"]),
+            disc_coef=float(l["disc_coef"]),
+            disc_logit_reg=float(l["disc_logit_reg"]),
+            disc_grad_penalty=float(l["disc_grad_penalty"]),
+            disc_reward_scale=float(l["disc_reward_scale"]),
+            disc_weight_decay=float(l["disc_weight_decay"]),
+            amp_batch_size=int(l["amp_batch_size"]),
+            amp_buffer_size=int(l["amp_buffer_size"]),
+            task_reward_w=float(l["task_reward_w"]),
+            disc_reward_w=float(l["disc_reward_w"]),
+        )
+        return AMPAgent(env, ppo_cfg, amp_cfg, net)
+    if kind == "distill":
+        dc = DistillConfig(
+            num_envs=num_envs,
+            horizon_length=int(l["horizon_length"]),
+            minibatch_size=int(l["minibatch_size"]),
+            mini_epochs=int(l["mini_epochs"]),
+            kin_lr=float(l["kin_lr"]),
+            grad_norm=float(l["grad_norm"]),
+            kld_coefficient=float(l["kld_coefficient"]),
+            kld_coefficient_min=float(l["kld_coefficient_min"]),
+            kld_anneal_start=int(l["kld_anneal_start"]),
+            kld_anneal_end=int(l["kld_anneal_end"]),
+            ar1_coefficient=float(l["ar1_coefficient"]),
+        )
+        net = PulseVAE(
+            action_dim=env.action_dim,
+            latent_dim=int(l["latent_dim"]),
+            self_obs_dim=env.self_obs_dim,
+            encoder_units=tuple(l["encoder_units"]),
+            prior_units=tuple(l["prior_units"]),
+            decoder_units=tuple(l["decoder_units"]),
+        )
+        teacher = build_teacher_from_cfg(cfg, env)
+        return DistillAgent(env, teacher, dc, net)
+    raise ValueError(f"unknown agent {kind!r}")
+
+
+def build_teacher_from_cfg(cfg, env):
+    """Frozen teacher policy for distillation (≙ humanoid_im_distill.py
+    teacher loaders). Without a checkpoint, a fresh network stands in so the
+    pipeline runs end to end."""
+    from pulse_tpu.learning.networks import ActorCritic
+
+    l = cfg["learning"]
+    net = ActorCritic(action_dim=env.action_dim)
+    params = net.init(jax.random.PRNGKey(7), jnp.zeros((1, env.obs_dim)))["params"]
+    ckpt = l.get("teacher_checkpoint", "")
+    if ckpt:
+        from pulse_tpu.utils.checkpoint import restore_checkpoint
+
+        params = restore_checkpoint(ckpt, params)
+
+    def teacher_fn(obs):
+        mu, _, _ = net.apply({"params": params}, obs)
+        return jnp.clip(mu, -1.0, 1.0)
+
+    return teacher_fn
+
+
+def main(argv=None):
+    from pulse_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from pulse_tpu.utils.config import load_config
+
+    cfg = load_config(argv if argv is not None else sys.argv[1:])
+    np.random.seed(int(cfg["seed"]))
+
+    out_dir = os.path.join(cfg["output_dir"], cfg["exp_name"])
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config.json"), "w") as fh:
+        json.dump(cfg, fh, indent=2, default=str)
+
+    spec, model = build_model_from_cfg(cfg)
+    motion = build_motion_from_cfg(cfg, spec)
+    env = build_env_from_cfg(cfg, model, motion)
+    agent = build_agent_from_cfg(cfg, env)
+
+    ts = agent.init(jax.random.PRNGKey(int(cfg["seed"])))
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    epoch0 = 0
+    if int(cfg["epoch"]) != 0:
+        path = latest_checkpoint(ckpt_dir)
+        if path:
+            ts = restore_checkpoint(path, ts)
+            epoch0 = int(os.path.basename(path).split("_")[1])
+            print(f"restored {path}")
+
+    if cfg["test"]:
+        return run_eval(cfg, env, agent, ts)
+
+    train = jax.jit(agent.train_epoch)
+    log_path = os.path.join(out_dir, "metrics.jsonl")
+    t_start = time.time()
+    steps_per_epoch = int(cfg["num_envs"]) * int(cfg["learning"]["horizon_length"])
+    for epoch in range(epoch0, int(cfg["max_epochs"])):
+        ts, metrics = train(ts)
+        if epoch % int(cfg["log_frequency"]) == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics.update(
+                epoch=epoch,
+                time=round(time.time() - t_start, 1),
+                fps=round(
+                    steps_per_epoch * (epoch - epoch0 + 1) / (time.time() - t_start)
+                ),
+            )
+            with open(log_path, "a") as fh:
+                fh.write(json.dumps(metrics) + "\n")
+            print(
+                " ".join(
+                    f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                    for k, v in metrics.items()
+                )
+            )
+        if (
+            int(cfg["save_frequency"]) > 0
+            and epoch > 0
+            and epoch % int(cfg["save_frequency"]) == 0
+        ):
+            save_checkpoint(ckpt_dir, epoch, ts)
+    save_checkpoint(ckpt_dir, int(cfg["max_epochs"]), ts)
+
+
+def run_eval(cfg, env, agent, ts):
+    from pulse_tpu.eval import im_eval
+
+    params = ts.ppo.params if hasattr(ts, "ppo") else ts.params
+    obs_rms = ts.ppo.obs_rms if hasattr(ts, "ppo") else ts.obs_rms
+    ppo_agent = agent.ppo if hasattr(agent, "ppo") else agent
+
+    def policy_fn(obs):
+        mu, _, _ = ppo_agent.network.apply(
+            {"params": params}, obs_rms.normalize(obs)
+        )
+        return jnp.clip(mu, -1.0, 1.0)
+
+    result = im_eval(env, policy_fn, batch_size=int(cfg["num_envs"]))
+    print(json.dumps(dataclass_to_dict(result), indent=2))
+    return result
+
+
+def dataclass_to_dict(d):
+    import dataclasses as dc
+
+    out = dc.asdict(d)
+    out["failed_motions"] = out["failed_motions"].tolist()
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Hydra-style YAML config tree with group selection and dotted overrides.
+
+≙ the reference's config layer (phc/run_hydra.py:270-345 hydra compose +
+phc/data/cfg/** groups env/learning/robot/sim). `load_config` reads the root
+defaults, swaps groups via `group=name` args, and applies `a.b.c=value`
+overrides — no external dependency beyond pyyaml.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any
+
+import yaml
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+GROUPS = ("env", "learning", "robot", "sim")
+
+
+def _load_yaml(path: str) -> dict:
+    with open(path) as fh:
+        return yaml.safe_load(fh) or {}
+
+
+def _parse_value(s: str) -> Any:
+    return yaml.safe_load(s)
+
+
+def _set_dotted(cfg: dict, dotted: str, value: Any) -> None:
+    keys = dotted.split(".")
+    node = cfg
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def load_config(overrides: list[str] | None = None, config_dir: str | None = None) -> dict:
+    config_dir = config_dir or CONFIG_DIR
+    root = _load_yaml(os.path.join(config_dir, "config.yaml"))
+    defaults = root.pop("defaults", {})
+    overrides = list(overrides or [])
+
+    # group selections: env=im_vae etc.
+    selections = dict(defaults)
+    rest = []
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        if key in GROUPS:
+            selections[key] = val
+        else:
+            rest.append(ov)
+
+    cfg = dict(root)
+    for group, name in selections.items():
+        path = os.path.join(config_dir, group, f"{name}.yaml")
+        cfg[group] = _load_yaml(path)
+        cfg[group]["_name"] = name
+
+    for ov in rest:
+        key, _, val = ov.partition("=")
+        _set_dotted(cfg, key, _parse_value(val))
+    return cfg
