@@ -1,0 +1,43 @@
+"""HumanoidImMCP: policy outputs composer weights over frozen PNN primitives.
+
+≙ phc/env/tasks/humanoid_im_mcp.py:13-92 (+ the Getup variant,
+humanoid_im_mcp_getup.py): the action space becomes the N composer weights;
+each step evaluates the frozen PNN primitives on the current observation and
+executes the weighted blend.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pulse_tpu.env.humanoid_im import EnvState, HumanoidImEnv
+from pulse_tpu.env.humanoid_im_getup import HumanoidImGetupEnv
+from pulse_tpu.learning.pnn import PNN, compose_actions
+
+
+class _MCPMixin:
+    """Overrides the action pathway: weights -> blended primitive action."""
+
+    def init_mcp(self, pnn: PNN, pnn_params):
+        self.pnn = pnn
+        self.pnn_params = pnn_params
+        self.action_dim = pnn.num_primitives
+
+    def step_one(self, state: EnvState, weights: jax.Array) -> EnvState:
+        prims = self.pnn.apply({"params": self.pnn_params}, state.obs)
+        w = jax.nn.softmax(weights, axis=-1)
+        motor = jnp.clip(compose_actions(w, prims), -1.0, 1.0)
+        return super().step_one(state, motor)
+
+
+class HumanoidImMCPEnv(_MCPMixin, HumanoidImEnv):
+    def __init__(self, model, motion, pnn: PNN, pnn_params, config=None):
+        super().__init__(model, motion, config)
+        self.init_mcp(pnn, pnn_params)
+
+
+class HumanoidImMCPGetupEnv(_MCPMixin, HumanoidImGetupEnv):
+    def __init__(self, model, motion, pnn: PNN, pnn_params, config=None):
+        super().__init__(model, motion, config)
+        self.init_mcp(pnn, pnn_params)
