@@ -239,10 +239,22 @@ class HumanoidTaskEnv:
                 tau[None], dof_vel[None], cfg.power_coefficient
             )[0]
 
+        body_pos_term = physics.body_pos
+        if self.model.has_terrain:
+            # measure fall heights relative to the local ground
+            from pulse_tpu.env.terrain import terrain_height
+
+            gz = terrain_height(
+                self.model.terrain_heights,
+                self.model.terrain_cell,
+                self.model.terrain_origin,
+                physics.body_pos[:, 0:2],
+            )
+            body_pos_term = physics.body_pos.at[:, 2].add(-gz)
         reset, terminate = kernels.compute_humanoid_reset(
             progress[None],
             physics.contact_force[None],
-            physics.body_pos[None],
+            body_pos_term[None],
             self.non_contact_body_ids,
             cfg.termination_height,
             cfg.episode_length,

@@ -34,25 +34,39 @@ def plane_contact_forces(
     cfg = model.config
     b = model.cp_body
     p = body_pos[b] + q.quat_rotate(body_rot[b], model.cp_offset)   # [P, 3]
-    depth = model.cp_radius - p[:, 2]                               # >0 penetrating
+
+    if model.has_terrain:
+        from pulse_tpu.env.terrain import terrain_height, terrain_normal
+
+        ground_z = terrain_height(
+            model.terrain_heights, model.terrain_cell, model.terrain_origin, p[:, 0:2]
+        )
+        normal = terrain_normal(
+            model.terrain_heights, model.terrain_cell, model.terrain_origin, p[:, 0:2]
+        )
+    else:
+        ground_z = jnp.zeros(p.shape[0])
+        normal = jnp.zeros_like(p).at[:, 2].set(1.0)
+
+    depth = model.cp_radius - (p[:, 2] - ground_z)                  # >0 penetrating
     in_contact = depth > 0.0
 
     arm = p - body_pos[b]
     vp = body_vel[b] + jnp.cross(body_ang_vel[b], arm)              # point velocity
-    vn = vp[:, 2]
+    vn = jnp.sum(vp * normal, axis=-1)
     fn = jnp.where(
         in_contact,
         jnp.maximum(cfg.contact_stiffness * depth - cfg.contact_damping * vn, 0.0),
         0.0,
     )
 
-    vt = vp[:, 0:2]
+    vt = vp - vn[:, None] * normal                                  # tangential
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-12)
     # smooth Coulomb: full mu*fn beyond the regularization velocity scale
     scale = jnp.minimum(vt_norm / cfg.friction_regularization, 1.0)
     ft = -(model.cp_friction * fn * scale / vt_norm)[:, None] * vt
 
-    f_w = jnp.concatenate([ft, fn[:, None]], axis=-1)               # [P, 3]
+    f_w = fn[:, None] * normal + ft                                 # [P, 3]
     n_w = jnp.cross(arm, f_w)
 
     J = model.num_bodies

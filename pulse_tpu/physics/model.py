@@ -89,11 +89,29 @@ class Model:
     pd_action_offset: jax.Array = None    # [D]
     pd_action_scale: jax.Array = None     # [D]
 
-    # contact points (plane collision)
+    # contact points (ground collision)
     cp_body: jax.Array = None             # [P] int
     cp_offset: jax.Array = None           # [P, 3] body frame
     cp_radius: jax.Array = None           # [P]
     cp_friction: jax.Array = None         # [P]
+
+    # optional heightfield terrain (None -> flat plane z=0)
+    terrain_heights: jax.Array = None     # [H, W] meters
+    terrain_cell: float = struct.field(pytree_node=False, default=0.25)
+    terrain_origin: jax.Array = None      # [2] world xy of cell (0, 0)
+
+    @property
+    def has_terrain(self) -> bool:
+        return self.terrain_heights is not None
+
+    def with_terrain(self, heights, cell_size: float, origin) -> "Model":
+        import jax.numpy as jnp
+
+        return self.replace(
+            terrain_heights=jnp.asarray(heights),
+            terrain_cell=float(cell_size),
+            terrain_origin=jnp.asarray(origin, jnp.float32),
+        )
 
     @property
     def num_joints(self) -> int:

@@ -21,12 +21,21 @@ from pulse_tpu.physics.model import Model
 from pulse_tpu.physics.state import PhysicsState, refresh_kinematics
 
 
-def _substep(model: Model, state: PhysicsState, pd_target_dof: jax.Array, h: float):
+def _substep(
+    model: Model,
+    state: PhysicsState,
+    pd_target_dof: jax.Array,
+    h: float,
+    f_ext_extra: jax.Array | None = None,
+):
     # world kinematics for contacts + force frames
     state = refresh_kinematics(model, state)
     f_ext, net_contact = plane_contact_forces(
         model, state.body_pos, state.body_rot, state.body_vel, state.body_ang_vel
     )
+    if f_ext_extra is not None:
+        f_ext = f_ext + f_ext_extra
+        net_contact = net_contact + f_ext_extra[:, 3:6]
     tau, d_extra = spd_joint_torques(model, state, pd_target_dof, h)
     a0, qdd = aba_fast(model, state, tau, f_ext, state.body_rot, h, d_extra)
 
@@ -69,3 +78,28 @@ def physics_step(
         acc = acc + state.contact_force
     state = refresh_kinematics(model, state)
     return state.replace(contact_force=acc / n)
+
+
+def physics_step_with_prop(model: Model, prop_spec, state: PhysicsState, prop, pd_target_dof):
+    """Coupled humanoid + free-prop control step (strike task).
+
+    Each substep: compute two-way humanoid/prop contact from the refreshed
+    kinematics, advance the prop, then the humanoid with the reaction forces."""
+    from pulse_tpu.physics.prop import prop_step
+
+    cfg = model.config
+    h = cfg.h
+    n = cfg.steps_per_control
+    acc = jnp.zeros_like(state.contact_force)
+    prop_contact_acc = jnp.zeros(3)
+    for _ in range(n):
+        state = refresh_kinematics(model, state)
+        prop, f_ext_h, prop_contact = prop_step(
+            model, prop_spec, prop,
+            state.body_pos, state.body_rot, state.body_vel, state.body_ang_vel, h,
+        )
+        state = _substep(model, state, pd_target_dof, h, f_ext_extra=f_ext_h)
+        acc = acc + state.contact_force
+        prop_contact_acc = prop_contact_acc + prop_contact
+    state = refresh_kinematics(model, state)
+    return state.replace(contact_force=acc / n), prop, prop_contact_acc / n
