@@ -69,8 +69,8 @@ def build_env_from_cfg(cfg, model, motion):
 
     e = cfg["env"]
     task = e["task"]
-    if task == "HumanoidIm":
-        ec = EnvConfig(
+    if task in ("HumanoidIm", "HumanoidImGetup", "HumanoidImDistillGetup"):
+        common = dict(
             episode_length=int(e["episode_length"]),
             termination_distance=float(e["termination_distance"]),
             enable_early_termination=bool(e["enable_early_termination"]),
@@ -85,7 +85,17 @@ def build_env_from_cfg(cfg, model, motion):
             power_coefficient=float(e["power_coefficient"]),
             cycle_motion=bool(e["cycle_motion"]),
         )
-        return HumanoidImEnv(model, motion, ec)
+        if task == "HumanoidIm":
+            return HumanoidImEnv(model, motion, EnvConfig(**common))
+        from pulse_tpu.env.humanoid_im_getup import GetupConfig, HumanoidImGetupEnv
+
+        gc = GetupConfig(
+            recovery_steps=int(e.get("recovery_steps", 90)),
+            recovery_episode_prob=float(e.get("recovery_episode_prob", 0.3)),
+            fall_init_prob=float(e.get("fall_init_prob", 0.1)),
+            **common,
+        )
+        return HumanoidImGetupEnv(model, motion, gc)
 
     tc_kwargs = dict(
         episode_length=int(e["episode_length"]),
@@ -105,6 +115,14 @@ def build_env_from_cfg(cfg, model, motion):
     elif task in ("HumanoidTraj", "HumanoidTrajZ"):
         tc = TaskConfig(**tc_kwargs)
         env = HumanoidTrajEnv(model, motion, tc)
+    elif task in ("HumanoidStrike", "HumanoidStrikeZ"):
+        from pulse_tpu.env.humanoid_strike import HumanoidStrikeEnv
+
+        env = HumanoidStrikeEnv(model, motion, TaskConfig(**tc_kwargs))
+    elif task in ("HumanoidPedestrianTerrain", "HumanoidPedestrianTerrainZ"):
+        from pulse_tpu.env.humanoid_terrain import HumanoidPedestrianTerrainEnv
+
+        env = HumanoidPedestrianTerrainEnv(model, motion, TaskConfig(**tc_kwargs))
     else:
         raise ValueError(f"unknown task {task!r}")
 
