@@ -56,6 +56,8 @@ class EnvConfig:
     power_reward: bool = False
     power_coefficient: float = 0.0005
     cycle_motion: bool = False
+    obs_v: int = 6                  # imitation task-obs version (humanoid_im.py:708-851)
+    obs_noise_std: float = 0.0      # training-time obs perturbation (humanoid_im.py:691-692)
     num_amp_obs_steps: int = 10     # discriminator window (humanoid_amp.py:91)
     key_bodies: Sequence[str] = DEFAULT_KEY_BODIES
     reset_bodies: Sequence[str] = DEFAULT_RESET_BODIES
@@ -116,7 +118,18 @@ class HumanoidImEnv:
         J = model.num_bodies
         self.num_bodies = J
         self.self_obs_dim = (1 if self.config.root_height_obs else 0) + (J - 1) * 3 + J * 6 + J * 3 + J * 3
-        self.task_obs_dim = self.config.num_traj_samples * J * 24
+        T = self.config.num_traj_samples
+        obs_v = self.config.obs_v
+        if obs_v == 6:
+            self.task_obs_dim = T * J * 24
+        elif obs_v == 7:
+            self.task_obs_dim = T * J * 9
+        elif obs_v == 8:
+            self.task_obs_dim = J * 15 + T * J * 15
+        elif obs_v == 9:
+            self.task_obs_dim = T * (J * 18 + 6)
+        else:
+            raise ValueError(f"unsupported obs_v {obs_v}")
         self.obs_dim = self.self_obs_dim + self.task_obs_dim
         D = model.num_dof
         self.amp_obs_dim_single = (
@@ -245,18 +258,37 @@ class HumanoidImEnv:
         # task obs targets the NEXT control step (humanoid_im.py:708-729)
         t_next = self._motion_time(state) + self.model.config.control_dt
         ref = self._ref_track(state.motion_id, t_next)
-        task_obs = kernels.compute_imitation_observations_v6(
-            ph.root_pos[None],
-            ph.root_rot[None],
-            ph.body_pos[None],
-            ph.body_rot[None],
-            ph.body_vel[None],
-            ph.body_ang_vel[None],
-            ref["rg_pos"][None],
-            ref["rb_rot"][None],
-            ref["body_vel"][None],
-            ref["body_ang_vel"][None],
-        )[0]
+        obs_v = cfg.obs_v
+        if obs_v == 6:
+            task_obs = kernels.compute_imitation_observations_v6(
+                ph.root_pos[None], ph.root_rot[None],
+                ph.body_pos[None], ph.body_rot[None],
+                ph.body_vel[None], ph.body_ang_vel[None],
+                ref["rg_pos"][None], ref["rb_rot"][None],
+                ref["body_vel"][None], ref["body_ang_vel"][None],
+            )[0]
+        elif obs_v == 7:
+            task_obs = kernels.compute_imitation_observations_v7(
+                ph.root_pos[None], ph.root_rot[None],
+                ph.body_pos[None], ph.body_vel[None],
+                ref["rg_pos"][None], ref["body_vel"][None],
+            )[0]
+        elif obs_v == 8:
+            task_obs = kernels.compute_imitation_observations_v8(
+                ph.root_pos[None], ph.root_rot[None],
+                ph.body_pos[None], ph.body_rot[None],
+                ph.body_vel[None], ph.body_ang_vel[None],
+                ref["rg_pos"][None], ref["rb_rot"][None],
+                ref["body_vel"][None], ref["body_ang_vel"][None],
+            )[0]
+        else:  # v9
+            task_obs = kernels.compute_imitation_observations_v9(
+                ph.root_pos[None], ph.root_rot[None],
+                ph.body_pos[None], ph.body_rot[None],
+                ph.body_vel[None], ph.body_ang_vel[None],
+                ref["rg_pos"][None], ref["rb_rot"][None],
+                ref["body_vel"][None, :, 0], ref["body_ang_vel"][None, :, 0],
+            )[0]
         return jnp.concatenate([self_obs, task_obs])
 
     def _amp_obs(self, state: EnvState) -> jax.Array:
@@ -348,7 +380,11 @@ class HumanoidImEnv:
         amp_hist = jnp.roll(state.amp_hist, 1, axis=0).at[0].set(
             self._amp_obs(stepped)
         )
-        stepped = stepped.replace(obs=self._observe(stepped), amp_hist=amp_hist)
+        obs = self._observe(stepped)
+        if cfg.obs_noise_std > 0:
+            k_noise, _ = jax.random.split(jax.random.fold_in(state.key, 17))
+            obs = obs + cfg.obs_noise_std * jax.random.normal(k_noise, obs.shape)
+        stepped = stepped.replace(obs=obs, amp_hist=amp_hist)
 
         # in-graph auto-reset: branch-free select between stepped and fresh
         k_reset, k_keep = jax.random.split(state.key)

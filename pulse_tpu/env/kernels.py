@@ -113,6 +113,121 @@ def compute_imitation_observations_v6(
     return obs.reshape(B, -1)
 
 
+def compute_imitation_observations_v7(
+    root_pos: jax.Array,
+    root_rot: jax.Array,
+    body_pos: jax.Array,
+    body_vel: jax.Array,
+    ref_body_pos: jax.Array,    # [B, T, J, 3]
+    ref_body_vel: jax.Array,
+) -> jax.Array:
+    """Position-only imitation obs (≙ humanoid_im.py:1381-1413: no rotation
+    information, 'leave IK for RL'). -> [B, T*J*9]."""
+    B, T, J, _ = ref_body_pos.shape
+    heading_inv = q.calc_heading_quat_inv(root_rot)[:, None, None, :]
+    diff_local_pos = q.quat_rotate(heading_inv, ref_body_pos - body_pos[:, None])
+    diff_local_vel = q.quat_rotate(heading_inv, ref_body_vel - body_vel[:, None])
+    local_ref_pos = q.quat_rotate(heading_inv, ref_body_pos - root_pos[:, None, None, :])
+    obs = jnp.concatenate(
+        [
+            diff_local_pos.reshape(B, T, -1),
+            diff_local_vel.reshape(B, T, -1),
+            local_ref_pos.reshape(B, T, -1),
+        ],
+        axis=-1,
+    )
+    return obs.reshape(B, -1)
+
+
+def compute_imitation_observations_v8(
+    root_pos: jax.Array,
+    root_rot: jax.Array,
+    body_pos: jax.Array,
+    body_rot: jax.Array,
+    body_vel: jax.Array,
+    body_ang_vel: jax.Array,
+    ref_body_pos: jax.Array,     # [B, T, J, 3]
+    ref_body_rot: jax.Array,
+    ref_body_vel: jax.Array,
+    ref_body_ang_vel: jax.Array,
+) -> jax.Array:
+    """v8 (≙ humanoid_im.py:1415-1484): diffs only against the FIRST ref
+    step; full local ref pos/rot/vel/angvel for every (incl. future) step."""
+    B, T, J, _ = ref_body_pos.shape
+    heading_inv1 = q.calc_heading_quat_inv(root_rot)[:, None, :]     # [B,1,4]
+    heading1 = q.calc_heading_quat(root_rot)[:, None, :]
+
+    diff_pos = ref_body_pos[:, 0] - body_pos
+    diff_rot = q.quat_mul(ref_body_rot[:, 0], q.quat_conjugate(body_rot))
+    diff_local_pos = q.quat_rotate(heading_inv1, diff_pos)
+    diff_local_rot = q.quat_mul(q.quat_mul(heading_inv1, diff_rot), heading1)
+    diff_vel = q.quat_rotate(heading_inv1, ref_body_vel[:, 0] - body_vel)
+    diff_ang_vel = q.quat_rotate(heading_inv1, ref_body_ang_vel[:, 0] - body_ang_vel)
+
+    heading_invT = q.calc_heading_quat_inv(root_rot)[:, None, None, :]
+    local_ref_pos = q.quat_rotate(heading_invT, ref_body_pos - root_pos[:, None, None, :])
+    local_ref_rot = q.quat_to_tan_norm(q.quat_mul(heading_invT, ref_body_rot))
+    local_ref_vel = q.quat_rotate(heading_invT, ref_body_vel)
+    local_ref_ang_vel = q.quat_rotate(heading_invT, ref_body_ang_vel)
+
+    parts = [
+        diff_local_pos.reshape(B, -1),
+        q.quat_to_tan_norm(diff_local_rot).reshape(B, -1),
+        diff_vel.reshape(B, -1),
+        diff_ang_vel.reshape(B, -1),
+        local_ref_pos.reshape(B, -1),
+        local_ref_rot.reshape(B, -1),
+        local_ref_vel.reshape(B, -1),
+        local_ref_ang_vel.reshape(B, -1),
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def compute_imitation_observations_v9(
+    root_pos: jax.Array,
+    root_rot: jax.Array,
+    body_pos: jax.Array,
+    body_rot: jax.Array,
+    body_vel: jax.Array,
+    body_ang_vel: jax.Array,
+    ref_body_pos: jax.Array,     # [B, T, J, 3]
+    ref_body_rot: jax.Array,
+    ref_root_vel: jax.Array,     # [B, T, 3]
+    ref_root_ang_vel: jax.Array,
+) -> jax.Array:
+    """v9 (≙ humanoid_im.py:1487-1540): full-body pos/rot diffs but root-only
+    velocity diffs."""
+    B, T, J, _ = ref_body_pos.shape
+    heading_inv = q.calc_heading_quat_inv(root_rot)[:, None, None, :]
+    heading = q.calc_heading_quat(root_rot)[:, None, None, :]
+
+    diff_local_pos = q.quat_rotate(heading_inv, ref_body_pos - body_pos[:, None])
+    diff_rot = q.quat_mul(ref_body_rot, q.quat_conjugate(body_rot[:, None]))
+    diff_local_rot = q.quat_mul(q.quat_mul(heading_inv, diff_rot), heading)
+
+    heading_inv_root = q.calc_heading_quat_inv(root_rot)[:, None, :]
+    diff_root_vel = q.quat_rotate(heading_inv_root, ref_root_vel - body_vel[:, None, 0])
+    diff_root_ang_vel = q.quat_rotate(
+        heading_inv_root, ref_root_ang_vel - body_ang_vel[:, None, 0]
+    )
+
+    local_ref_pos = q.quat_rotate(heading_inv, ref_body_pos - root_pos[:, None, None, :])
+    local_ref_rot = q.quat_to_tan_norm(q.quat_mul(heading_inv, ref_body_rot))
+
+    obs = jnp.concatenate(
+        [
+            diff_local_pos.reshape(B, T, -1),
+            q.quat_to_tan_norm(diff_local_rot).reshape(B, T, -1),
+            diff_root_vel.reshape(B, T, -1),
+            diff_root_ang_vel.reshape(B, T, -1),
+            local_ref_pos.reshape(B, T, -1),
+            local_ref_rot.reshape(B, T, -1),
+        ],
+        axis=-1,
+    )
+    return obs.reshape(B, -1)
+
+
 def compute_imitation_reward(
     body_pos: jax.Array,          # [B, J, 3]
     body_rot: jax.Array,          # [B, J, 4]

@@ -76,10 +76,36 @@ def _compute_dof_vels(local_rot: jax.Array, fps: float) -> jax.Array:
     return jnp.concatenate([vel, vel[-1:]], axis=0)
 
 
+def randomize_clip_heading(clip: dict, yaw: float) -> dict:
+    """Rotate a whole clip by a random yaw about its start position
+    (≙ the per-clip heading-rotation augmentation in
+    motion_lib_smpl.py:131-140)."""
+    import numpy as _np
+
+    lr = _np.asarray(clip["local_rotation"]).copy()
+    rt = _np.asarray(clip["root_translation"]).copy()
+    c, s = _np.cos(yaw), _np.sin(yaw)
+    qz = _np.asarray([0.0, 0.0, _np.sin(yaw / 2), _np.cos(yaw / 2)], _np.float32)
+    # rotate root orientations
+    x, y, z, w = lr[:, 0, 0], lr[:, 0, 1], lr[:, 0, 2], lr[:, 0, 3]
+    qx, qy, qz_, qw = qz
+    lr[:, 0, 0] = qw * x + qx * w + qy * z - qz_ * y
+    lr[:, 0, 1] = qw * y + qy * w + qz_ * x - qx * z
+    lr[:, 0, 2] = qw * z + qz_ * w + qx * y - qy * x
+    lr[:, 0, 3] = qw * w - qx * x - qy * y - qz_ * z
+    # rotate translations about the first frame's xy
+    origin = rt[0, 0:2].copy()
+    rel = rt[:, 0:2] - origin
+    rt[:, 0] = origin[0] + c * rel[:, 0] - s * rel[:, 1]
+    rt[:, 1] = origin[1] + s * rel[:, 0] + c * rel[:, 1]
+    return {"fps": clip["fps"], "local_rotation": lr, "root_translation": rt}
+
+
 def build_motion_data(
     tree: SkeletonTree,
     clips: Sequence[dict[str, Any]],
     sampling_prob: np.ndarray | None = None,
+    random_heading_seed: int | None = None,
 ) -> MotionData:
     """Build the flat device store from per-clip kinematic data.
 
@@ -89,6 +115,11 @@ def build_motion_data(
     multiprocess per-clip load (motion_lib_base.py:179-323), which a single
     vectorized trace replaces.
     """
+    if random_heading_seed is not None:
+        rng = np.random.default_rng(random_heading_seed)
+        clips = [
+            randomize_clip_heading(c, rng.uniform(-np.pi, np.pi)) for c in clips
+        ]
     gts_l, grs_l, gvs_l, gavs_l, lrs_l, dvs_l = [], [], [], [], [], []
     lengths, nframes, fps_l = [], [], []
     for clip in clips:

@@ -318,6 +318,23 @@ def main(argv=None):
             and epoch % int(cfg["save_frequency"]) == 0
         ):
             save_checkpoint(ckpt_dir, epoch, ts)
+
+        # periodic im_eval + PMCP hard-negative reweighting (≙ IMAmpAgent
+        # eval feedback, im_amp.py:136-242 + update_hard_sampling_weight).
+        # The motion store is a trace constant, so a weight update rebuilds
+        # the jitted program — infrequent by design (shape_resampling-style
+        # cadence).
+        ef = int(cfg.get("eval_frequency", 0))
+        if ef > 0 and epoch > epoch0 and epoch % ef == 0 and hasattr(env, "reset_to"):
+            result = run_eval(cfg, env, agent, ts)
+            from pulse_tpu.motion.motion_lib import update_hard_sampling_weight
+            import jax.numpy as _jnp
+
+            motion = update_hard_sampling_weight(
+                env.motion, _jnp.asarray(result.failed_motions)
+            )
+            env.motion = motion
+            train = jax.jit(agent.train_epoch)
     save_checkpoint(ckpt_dir, int(cfg["max_epochs"]), ts)
 
 
