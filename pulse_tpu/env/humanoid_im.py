@@ -101,6 +101,7 @@ class HumanoidImEnv:
 
     def __init__(self, model: Model, motion: MotionData, config: EnvConfig | None = None):
         self.model = model
+        self.batched_model = None   # set by enable_shape_variation
         self.motion = motion
         self.config = config or EnvConfig()
         names = None
@@ -180,11 +181,11 @@ class HumanoidImEnv:
             return jnp.where(use_start, 0.0, sample_time(k2, self.motion, motion_id[None])[0])
         return jnp.zeros(())  # Default
 
-    def reset_one(self, key: jax.Array) -> EnvState:
+    def reset_one(self, key: jax.Array, model: Model | None = None) -> EnvState:
         k_motion, k_time, k_next = jax.random.split(key, 3)
         motion_id = sample_motions(k_motion, self.motion, 1)[0]
         start_time = self._sample_init_time(k_time, motion_id)
-        return self._reset_to(k_next, motion_id, start_time)
+        return self._reset_to(k_next, motion_id, start_time, model)
 
     def reset_to_one(
         self, key: jax.Array, motion_id: jax.Array, start_time: jax.Array
@@ -193,10 +194,11 @@ class HumanoidImEnv:
         (≙ begin_seq_motion_samples, humanoid_im.py:439-448)."""
         return self._reset_to(key, motion_id, start_time)
 
-    def _reset_to(self, k_next, motion_id, start_time) -> EnvState:
+    def _reset_to(self, k_next, motion_id, start_time, model: Model | None = None) -> EnvState:
+        model = self.model if model is None else model
         ref = self._ref_state(motion_id, start_time)
         physics = state_from_kinematics(
-            self.model,
+            model,
             ref["root_pos"],
             ref["root_rot"],
             ref["dof_pos"],
@@ -309,9 +311,10 @@ class HumanoidImEnv:
     # step
     # ------------------------------------------------------------------ #
 
-    def action_to_pd_target(self, action: jax.Array) -> jax.Array:
+    def action_to_pd_target(self, action: jax.Array, model: Model | None = None) -> jax.Array:
         """≙ humanoid.py:1392-1394."""
-        return self.model.pd_action_offset + self.model.pd_action_scale * action
+        model = self.model if model is None else model
+        return model.pd_action_offset + model.pd_action_scale * action
 
     def _termination(self, state: EnvState, ref: dict, pass_time: jax.Array):
         """Reset/terminate flags; overridable (getup adds a grace window)."""
@@ -327,10 +330,11 @@ class HumanoidImEnv:
         )
         return reset[0], terminate[0]
 
-    def step_one(self, state: EnvState, action: jax.Array) -> EnvState:
+    def step_one(self, state: EnvState, action: jax.Array, model: Model | None = None) -> EnvState:
         cfg = self.config
-        pd_target = self.action_to_pd_target(action)
-        physics = physics_step(self.model, state.physics, pd_target)
+        model = self.model if model is None else model
+        pd_target = self.action_to_pd_target(action, model)
+        physics = physics_step(model, state.physics, pd_target)
         progress = state.progress + 1
         state = state.replace(physics=physics, progress=progress)
 
@@ -354,8 +358,8 @@ class HumanoidImEnv:
             # PD torque proxy: kp*(target-dof) - kd*dof_vel
             dof = dof_pos_from_state(physics)
             dof_vel = dof_vel_from_state(physics)
-            kp = jnp.repeat(self.model.joint_kp, 3)
-            kd = jnp.repeat(self.model.joint_kd, 3)
+            kp = jnp.repeat(model.joint_kp, 3)
+            kd = jnp.repeat(model.joint_kd, 3)
             tau = kp * (pd_target - dof) - kd * dof_vel
             reward = reward + kernels.compute_power_penalty(
                 tau[None], dof_vel[None], cfg.power_coefficient
@@ -388,7 +392,7 @@ class HumanoidImEnv:
 
         # in-graph auto-reset: branch-free select between stepped and fresh
         k_reset, k_keep = jax.random.split(state.key)
-        fresh = self.reset_one(k_reset)
+        fresh = self.reset_one(k_reset, model)
         next_state = jax.tree.map(
             lambda a, b: jnp.where(
                 jnp.reshape(reset, (1,) * a.ndim) if a.ndim else reset, a, b
@@ -406,10 +410,23 @@ class HumanoidImEnv:
     # ------------------------------------------------------------------ #
 
     def reset(self, keys: jax.Array) -> EnvState:
-        return jax.vmap(self.reset_one)(keys)
+        if self.batched_model is None:
+            return jax.vmap(self.reset_one)(keys)
+        return jax.vmap(self.reset_one)(keys, self.batched_model)
 
     def reset_to(self, keys: jax.Array, motion_ids: jax.Array, times: jax.Array) -> EnvState:
         return jax.vmap(self.reset_to_one)(keys, motion_ids, times)
 
     def step(self, states: EnvState, actions: jax.Array) -> EnvState:
-        return jax.vmap(self.step_one)(states, actions)
+        if self.batched_model is None:
+            return jax.vmap(self.step_one)(states, actions)
+        return jax.vmap(self.step_one)(states, actions, self.batched_model)
+
+    def enable_shape_variation(self, key: jax.Array, num_envs: int,
+                               scale_range=(0.9, 1.1)) -> None:
+        """Give every env its own body shape (≙ has_shape_variation +
+        periodic shape resampling, humanoid.py:918-1035 / amp_agent.py:
+        557-579). Call again with a new key to resample."""
+        from pulse_tpu.physics.shape_variation import vary_model_scales
+
+        self.batched_model = vary_model_scales(self.model, key, num_envs, scale_range)

@@ -39,7 +39,8 @@ class AMPAgent:
         disc_r = self.amp.disc_reward(
             ts.amp, traj.amp_obs.reshape(-1, traj.amp_obs.shape[-1])
         ).reshape(traj.rewards.shape)
-        mixed = self.amp.combine_rewards(traj.rewards, disc_r)
+        task_r = traj.rewards
+        mixed = self.amp.combine_rewards(task_r, disc_r)
         traj = traj.replace(rewards=mixed)
 
         advantages, returns = self.ppo.compute_gae(traj, last_value)
@@ -51,6 +52,7 @@ class AMPAgent:
 
         metrics = dict(ppo_metrics)
         metrics.update(disc_metrics)
-        metrics["task_reward_mean"] = traj.rewards.mean()
+        metrics["reward_mean"] = mixed.mean()
+        metrics["task_reward_mean"] = task_r.mean()
         metrics["disc_reward_mean"] = disc_r.mean()
         return AMPTrainState(ppo=ppo_ts, amp=amp_state), metrics

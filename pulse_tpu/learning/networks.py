@@ -186,6 +186,38 @@ class PulseVAE(nn.Module):
         return self.critic_head(self.critic(obs))[..., 0]
 
 
+class SeptActorCritic(nn.Module):
+    """Separate self-obs / task-obs encoder towers merged before the heads.
+
+    ≙ phc/learning/amp_network_sept_builder.py:19-165 (AMPSeptBuilder): the
+    self observation and the task observation pass through their own MLPs
+    whose features concatenate into the actor trunk; the critic runs on the
+    full observation."""
+
+    action_dim: int
+    self_obs_dim: int
+    self_units: Sequence[int] = (1024, 512)
+    task_units: Sequence[int] = (1024, 512)
+    actor_units: Sequence[int] = (1024, 512)
+    critic_units: Sequence[int] = (2048, 1024)
+    activation: str = "silu"
+    init_sigma: float = -2.9
+
+    @nn.compact
+    def __call__(self, obs):
+        self_obs = obs[..., : self.self_obs_dim]
+        task_obs = obs[..., self.self_obs_dim :]
+        h_self = MLP(self.self_units, self.activation, name="self_enc")(self_obs)
+        h_task = MLP(self.task_units, self.activation, name="task_enc")(task_obs)
+        h = MLP(self.actor_units, self.activation, name="actor")(
+            jnp.concatenate([h_self, h_task], axis=-1)
+        )
+        mu = nn.Dense(self.action_dim)(h)
+        value = nn.Dense(1)(MLP(self.critic_units, self.activation, name="critic")(obs))[..., 0]
+        log_sigma = jnp.full((self.action_dim,), self.init_sigma)
+        return mu, log_sigma, value
+
+
 def kl_multi(mu0, logvar0, mu1, logvar1):
     """KL(N0 || N1) per-dim summed (≙ phc/learning/loss_functions.py kl_multi)."""
     var0 = jnp.exp(logvar0)
