@@ -61,6 +61,9 @@ class EnvConfig:
     num_amp_obs_steps: int = 10     # discriminator window (humanoid_amp.py:91)
     key_bodies: Sequence[str] = DEFAULT_KEY_BODIES
     reset_bodies: Sequence[str] = DEFAULT_RESET_BODIES
+    # bodies the task obs/reward track; None -> all (subset = VR-style
+    # sparse tracking, ≙ track_bodies / humanoid_im.py:62-69)
+    track_bodies: Sequence[str] | None = None
     # reward specs (humanoid_im.py:55)
     k_pos: float = 100.0
     k_rot: float = 10.0
@@ -116,19 +119,26 @@ class HumanoidImEnv:
         self.reset_body_ids = np.asarray(
             [self._names.index(n) for n in self.config.reset_bodies], np.int32
         )
+        if self.config.track_bodies is None:
+            self.track_body_ids = np.arange(model.num_bodies, dtype=np.int32)
+        else:
+            self.track_body_ids = np.asarray(
+                [self._names.index(n) for n in self.config.track_bodies], np.int32
+            )
         J = model.num_bodies
         self.num_bodies = J
         self.self_obs_dim = (1 if self.config.root_height_obs else 0) + (J - 1) * 3 + J * 6 + J * 3 + J * 3
         T = self.config.num_traj_samples
+        Jt = len(self.track_body_ids)
         obs_v = self.config.obs_v
         if obs_v == 6:
-            self.task_obs_dim = T * J * 24
+            self.task_obs_dim = T * Jt * 24
         elif obs_v == 7:
-            self.task_obs_dim = T * J * 9
+            self.task_obs_dim = T * Jt * 9
         elif obs_v == 8:
-            self.task_obs_dim = J * 15 + T * J * 15
+            self.task_obs_dim = Jt * 15 + T * Jt * 15
         elif obs_v == 9:
-            self.task_obs_dim = T * (J * 18 + 6)
+            self.task_obs_dim = T * (Jt * 18 + 6)
         else:
             raise ValueError(f"unsupported obs_v {obs_v}")
         self.obs_dim = self.self_obs_dim + self.task_obs_dim
@@ -257,38 +267,41 @@ class HumanoidImEnv:
             local_root_obs=cfg.local_root_obs,
             root_height_obs=cfg.root_height_obs,
         )[0]
-        # task obs targets the NEXT control step (humanoid_im.py:708-729)
+        # task obs targets the NEXT control step (humanoid_im.py:708-729),
+        # restricted to the tracked-body subset (VR-style sparse tracking
+        # when configured, humanoid_im.py:62-69)
         t_next = self._motion_time(state) + self.model.config.control_dt
         ref = self._ref_track(state.motion_id, t_next)
+        tb = self.track_body_ids
         obs_v = cfg.obs_v
         if obs_v == 6:
             task_obs = kernels.compute_imitation_observations_v6(
                 ph.root_pos[None], ph.root_rot[None],
-                ph.body_pos[None], ph.body_rot[None],
-                ph.body_vel[None], ph.body_ang_vel[None],
-                ref["rg_pos"][None], ref["rb_rot"][None],
-                ref["body_vel"][None], ref["body_ang_vel"][None],
+                ph.body_pos[None, tb], ph.body_rot[None, tb],
+                ph.body_vel[None, tb], ph.body_ang_vel[None, tb],
+                ref["rg_pos"][None][:, :, tb], ref["rb_rot"][None][:, :, tb],
+                ref["body_vel"][None][:, :, tb], ref["body_ang_vel"][None][:, :, tb],
             )[0]
         elif obs_v == 7:
             task_obs = kernels.compute_imitation_observations_v7(
                 ph.root_pos[None], ph.root_rot[None],
-                ph.body_pos[None], ph.body_vel[None],
-                ref["rg_pos"][None], ref["body_vel"][None],
+                ph.body_pos[None, tb], ph.body_vel[None, tb],
+                ref["rg_pos"][None][:, :, tb], ref["body_vel"][None][:, :, tb],
             )[0]
         elif obs_v == 8:
             task_obs = kernels.compute_imitation_observations_v8(
                 ph.root_pos[None], ph.root_rot[None],
-                ph.body_pos[None], ph.body_rot[None],
-                ph.body_vel[None], ph.body_ang_vel[None],
-                ref["rg_pos"][None], ref["rb_rot"][None],
-                ref["body_vel"][None], ref["body_ang_vel"][None],
+                ph.body_pos[None, tb], ph.body_rot[None, tb],
+                ph.body_vel[None, tb], ph.body_ang_vel[None, tb],
+                ref["rg_pos"][None][:, :, tb], ref["rb_rot"][None][:, :, tb],
+                ref["body_vel"][None][:, :, tb], ref["body_ang_vel"][None][:, :, tb],
             )[0]
         else:  # v9
             task_obs = kernels.compute_imitation_observations_v9(
                 ph.root_pos[None], ph.root_rot[None],
-                ph.body_pos[None], ph.body_rot[None],
-                ph.body_vel[None], ph.body_ang_vel[None],
-                ref["rg_pos"][None], ref["rb_rot"][None],
+                ph.body_pos[None, tb], ph.body_rot[None, tb],
+                ph.body_vel[None, tb], ph.body_ang_vel[None, tb],
+                ref["rg_pos"][None][:, :, tb], ref["rb_rot"][None][:, :, tb],
                 ref["body_vel"][None, :, 0], ref["body_ang_vel"][None, :, 0],
             )[0]
         return jnp.concatenate([self_obs, task_obs])
@@ -341,15 +354,16 @@ class HumanoidImEnv:
         t = self._motion_time(state)
         ref = self._ref_state(state.motion_id, t)
 
+        tb = self.track_body_ids
         reward, reward_raw = kernels.compute_imitation_reward(
-            physics.body_pos[None],
-            physics.body_rot[None],
-            physics.body_vel[None],
-            physics.body_ang_vel[None],
-            ref["rg_pos"][None],
-            ref["rb_rot"][None],
-            ref["body_vel"][None],
-            ref["body_ang_vel"][None],
+            physics.body_pos[None, tb],
+            physics.body_rot[None, tb],
+            physics.body_vel[None, tb],
+            physics.body_ang_vel[None, tb],
+            ref["rg_pos"][None][:, tb],
+            ref["rb_rot"][None][:, tb],
+            ref["body_vel"][None][:, tb],
+            ref["body_ang_vel"][None][:, tb],
             k_pos=cfg.k_pos, k_rot=cfg.k_rot, k_vel=cfg.k_vel, k_ang_vel=cfg.k_ang_vel,
             w_pos=cfg.w_pos, w_rot=cfg.w_rot, w_vel=cfg.w_vel, w_ang_vel=cfg.w_ang_vel,
         )

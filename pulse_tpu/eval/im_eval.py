@@ -75,7 +75,7 @@ def im_eval(
         lengths = motion.motion_lengths[motion_ids]
 
         def scan_step(carry, i):
-            state, failed, sums = carry
+            state, failed, sums, prev_vel = carry
             action = policy_fn(state.obs)
             state = env.step(state, action)
             # local clock: clips all start at t=0 (robust to any env-internal
@@ -102,21 +102,32 @@ def im_eval(
             vel_d = jnp.linalg.norm(
                 state.physics.body_vel - ref["body_vel"], axis=-1
             ).mean(-1)
+            # acceleration distance: finite-difference accel error (mm/frame^2)
+            sim_acc = state.physics.body_vel - prev_vel["sim"]
+            ref_acc = ref["body_vel"] - prev_vel["ref"]
+            acc_d = jnp.linalg.norm(sim_acc - ref_acc, axis=-1).mean(-1)
             af = active.astype(jnp.float32)
+            af_acc = af * (i > 0)
             sums = {
                 "g": sums["g"] + jpe_g * af,
                 "l": sums["l"] + jpe_l * af,
                 "vel": sums["vel"] + vel_d * af,
+                "acc": sums["acc"] + acc_d * af_acc,
                 "n": sums["n"] + af,
             }
-            return (state, failed, sums), (body_pos, active)
+            prev_vel = {"sim": state.physics.body_vel, "ref": ref["body_vel"]}
+            return (state, failed, sums, prev_vel), (body_pos, active)
 
         init = (
             state,
             jnp.zeros(B, bool),
-            {k: jnp.zeros(B) for k in ("g", "l", "vel", "n")},
+            {k: jnp.zeros(B) for k in ("g", "l", "vel", "acc", "n")},
+            {
+                "sim": state.physics.body_vel,
+                "ref": state.physics.body_vel,
+            },
         )
-        (state, failed, sums), (traj_pos, traj_active) = jax.lax.scan(
+        (state, failed, sums, _), (traj_pos, traj_active) = jax.lax.scan(
             scan_step, init, jnp.arange(max_steps)
         )
         return failed, sums, traj_pos, traj_active
@@ -124,7 +135,7 @@ def im_eval(
     eval_batch_j = jax.jit(eval_batch)
 
     failed_all = np.zeros(M, bool)
-    g_sum = l_sum = vel_sum = n_sum = 0.0
+    g_sum = l_sum = vel_sum = acc_sum = n_sum = 0.0
     pa_errs = []
     key = jax.random.PRNGKey(0)
     for start in range(0, M, batch_size):
@@ -138,6 +149,7 @@ def im_eval(
         g_sum += float(jnp.sum(sums["g"][: len(ids)]))
         l_sum += float(jnp.sum(sums["l"][: len(ids)]))
         vel_sum += float(jnp.sum(sums["vel"][: len(ids)]))
+        acc_sum += float(jnp.sum(sums["acc"][: len(ids)]))
         n_sum += float(jnp.sum(sums["n"][: len(ids)]))
 
         if collect_pa:
@@ -165,6 +177,6 @@ def im_eval(
         mpjpe_l=1000.0 * l_sum / n_sum,
         mpjpe_pa=1000.0 * float(np.mean(pa_errs)) if pa_errs else 0.0,
         vel_dist=1000.0 * vel_sum / n_sum,
-        accel_dist=0.0,
+        accel_dist=1000.0 * acc_sum / n_sum,
         failed_motions=failed_all,
     )

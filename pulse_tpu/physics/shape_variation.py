@@ -68,3 +68,27 @@ def scale_obs_params(key: jax.Array, num_envs: int,
     return jax.random.uniform(
         key, (num_envs, 1), minval=scale_range[0], maxval=scale_range[1]
     )
+
+
+def randomize_friction(
+    model: Model, key: jax.Array, num_envs: int,
+    friction_range: tuple[float, float] = (0.7, 1.3),
+) -> Model:
+    """Domain randomization of ground friction (≙ apply_randomizations,
+    base_task.py:518-697 friction path). Composes with vary_model_scales;
+    if the model is already batched the friction leaf is overwritten."""
+    mult = jax.random.uniform(
+        key, (num_envs, 1), minval=friction_range[0], maxval=friction_range[1]
+    )
+    base = model.cp_friction
+    if base.ndim == 1:
+        fric = base[None] * mult
+    else:
+        fric = base * mult
+    updates = {"cp_friction": fric}
+    if model.cp_body.ndim == 1:
+        # batching one leaf requires batching the others the env vmaps over
+        return vary_model_scales(
+            model, jax.random.PRNGKey(0), num_envs, (1.0, 1.0)
+        ).replace(**updates)
+    return model.replace(**updates)
