@@ -32,6 +32,7 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any) -> str:
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:
     """epoch=-1 semantics: newest step under ckpt_dir."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
     if not os.path.isdir(ckpt_dir):
         return None
     steps = []
@@ -46,7 +47,7 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
 
 def restore_checkpoint(path: str, target: Any) -> Any:
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target)
+    return ckptr.restore(os.path.abspath(path), target)
 
 
 # --------------------------------------------------------------------------- #
