@@ -68,6 +68,8 @@ class Model:
     # bodies grouped by tree depth for level-parallel passes: tuple of
     # (body_ids tuple, parent_ids tuple) per level, root first
     levels: tuple = struct.field(pytree_node=False, default=())
+    # static copy of cp_body for trace-time index remapping
+    cp_body_static: tuple = struct.field(pytree_node=False, default=())
 
     # kinematics
     local_translation: jax.Array = None   # [J, 3] joint origin in parent frame
@@ -224,6 +226,7 @@ def build_model(spec: RobotSpec, config: PhysicsConfig | None = None) -> Model:
         num_bodies=J,
         config=config,
         levels=level_groups,
+        cp_body_static=tuple(int(b) for b in cp_body),
         local_translation=jnp.asarray(tree.local_translation),
         body_mass=jnp.asarray(spec.body_mass),
         body_com=jnp.asarray(spec.body_com),

@@ -1,0 +1,249 @@
+"""Scatter-free level-order physics substep — hot path v3.
+
+Profiling the fused substep showed ~30% of device time in `copy` ops and
+thousands of micro-fusions, all caused by `.at[body_ids].set()` scatter
+updates on [J, ...] arrays inside the level sweeps. Because a node's parent
+always lives exactly one tree level up, every pass can instead carry
+**per-level arrays**: parent lookups are tiny static gathers from the
+previous level, child-to-parent accumulation is a segment_sum into the
+previous level, and the only full-body materialization is one concatenate
+per quantity. No scatters, no dynamic-update-slices, ~4x fewer XLA ops.
+
+All bookkeeping (level membership, parent-local indices, permutations, the
+contact-point table) is static python derived from Model.levels and baked
+into the trace. Numerically identical to substep_fused (golden-tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pulse_tpu.ops import quat as q
+from pulse_tpu.physics import spatial as sp
+from pulse_tpu.physics.dynamics import spd_joint_torques
+from pulse_tpu.physics.model import Model
+from pulse_tpu.physics.state import PhysicsState
+
+
+@functools.lru_cache(maxsize=8)
+def _level_meta(levels: tuple, num_bodies: int):
+    """Static per-level bookkeeping derived from Model.levels."""
+    body_ids = [np.asarray(b, np.int32) for b, _ in levels]
+    parent_ids = [np.asarray(p, np.int32) for _, p in levels]
+    # position of each level's parents within the PREVIOUS level's array
+    parent_local = []
+    for l in range(len(levels)):
+        if l == 0:
+            parent_local.append(np.zeros(0, np.int32))
+            continue
+        prev_pos = {int(g): i for i, g in enumerate(body_ids[l - 1])}
+        parent_local.append(
+            np.asarray([prev_pos[int(p)] for p in parent_ids[l]], np.int32)
+        )
+    # level-order permutation of bodies and joints
+    perm_b = np.concatenate(body_ids)                      # level order -> gid
+    inv_perm_b = np.empty(num_bodies, np.int32)
+    inv_perm_b[perm_b] = np.arange(num_bodies, dtype=np.int32)
+    perm_j = np.concatenate(body_ids[1:]) - 1              # joint index order
+    inv_perm_j = np.empty(num_bodies - 1, np.int32)
+    inv_perm_j[perm_j] = np.arange(num_bodies - 1, dtype=np.int32)
+    sizes = [len(b) for b in body_ids]
+    starts = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+    return {
+        "body_ids": body_ids,
+        "parent_local": parent_local,
+        "perm_b": perm_b,
+        "inv_perm_b": inv_perm_b,
+        "perm_j": perm_j,
+        "inv_perm_j": inv_perm_j,
+        "sizes": sizes,
+        "starts": starts,
+    }
+
+
+def lp_substep(
+    model: Model,
+    state: PhysicsState,
+    pd_target_dof: jax.Array,
+    h: float,
+    f_ext_extra: jax.Array | None = None,
+) -> PhysicsState:
+    J = model.num_bodies
+    cfg = model.config
+    meta = _level_meta(model.levels, J)
+    L = len(meta["body_ids"])
+    g = jnp.asarray([0.0, 0.0, cfg.gravity])
+
+    perm_j = meta["perm_j"]
+    # joint-indexed quantities in level order (model gathers constant-fold)
+    jr = state.joint_rot[perm_j]          # [23, 4]
+    om = state.joint_omega[perm_j]        # [23, 3]
+    lt = model.local_translation[perm_j + 1]
+    tau_full, d_extra = spd_joint_torques(model, state, pd_target_dof, h)
+    tau = tau_full[perm_j]
+    d_extra = d_extra[perm_j]
+    arm = model.joint_armature[perm_j]
+
+    def jslice(x, l):
+        # joints of level l within the level-ordered joint arrays
+        s = meta["starts"][l] - 1
+        return x[s : s + meta["sizes"][l]]
+
+    # ---- pass 1: FK + spatial velocities, per level ------------------------ #
+    rot_lv = [state.root_rot[None]]
+    pos_lv = [state.root_pos[None]]
+    v_lv = [state.root_vel6[None]]
+    for l in range(1, L):
+        pl = meta["parent_local"][l]
+        p_rot = rot_lv[l - 1][pl]
+        p_pos = pos_lv[l - 1][pl]
+        p_v = v_lv[l - 1][pl]
+        jr_l = jslice(jr, l)
+        lt_l = jslice(lt, l)
+        om_l = jslice(om, l)
+        rot_lv.append(q.quat_mul_norm(p_rot, jr_l))
+        pos_lv.append(p_pos + q.quat_rotate(p_rot, lt_l))
+        vJ = jnp.concatenate([om_l, jnp.zeros_like(om_l)], axis=-1)
+        v_lv.append(sp.motion_to_child(jr_l, lt_l, p_v) + vJ)
+
+    rots = jnp.concatenate(rot_lv)        # [J, 4] level order
+    poss = jnp.concatenate(pos_lv)
+    v = jnp.concatenate(v_lv)
+    om_all = jnp.concatenate([jnp.zeros((1, 3)), om])
+    vJ_all = jnp.concatenate([om_all, jnp.zeros((J, 3))], axis=-1)
+    c_bias = sp.cross_motion(v, vJ_all)
+
+    w_world = q.quat_rotate(rots, v[:, 0:3])
+    vl_world = q.quat_rotate(rots, v[:, 3:6])
+
+    # ---- contacts (cp tables remapped to level order, static) ------------- #
+    inv_b = meta["inv_perm_b"]
+    cb = inv_b[np.asarray(model.cp_body_static, np.int32)]
+    p_w = poss[cb] + q.quat_rotate(rots[cb], model.cp_offset)
+    if model.has_terrain:
+        from pulse_tpu.env.terrain import terrain_height, terrain_normal
+
+        ground_z = terrain_height(
+            model.terrain_heights, model.terrain_cell, model.terrain_origin, p_w[:, 0:2]
+        )
+        normal = terrain_normal(
+            model.terrain_heights, model.terrain_cell, model.terrain_origin, p_w[:, 0:2]
+        )
+    else:
+        ground_z = jnp.zeros(p_w.shape[0])
+        normal = jnp.zeros_like(p_w).at[:, 2].set(1.0)
+
+    depth = model.cp_radius - (p_w[:, 2] - ground_z)
+    in_contact = depth > 0.0
+    arm_c = p_w - poss[cb]
+    vp = vl_world[cb] + jnp.cross(w_world[cb], arm_c)
+    vn = jnp.sum(vp * normal, axis=-1)
+    fn = jnp.where(
+        in_contact,
+        jnp.maximum(cfg.contact_stiffness * depth - cfg.contact_damping * vn, 0.0),
+        0.0,
+    )
+    vt = vp - vn[:, None] * normal
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-12)
+    scale = jnp.minimum(vt_norm / cfg.friction_regularization, 1.0)
+    ft = -(model.cp_friction * fn * scale / vt_norm)[:, None] * vt
+    f_w_pts = fn[:, None] * normal + ft
+    n_w_pts = jnp.cross(arm_c, f_w_pts)
+
+    # per-body force accumulation: one segment_sum in level order
+    f_ext_n = jax.ops.segment_sum(n_w_pts, jnp.asarray(cb), num_segments=J)
+    f_ext_f = jax.ops.segment_sum(f_w_pts, jnp.asarray(cb), num_segments=J)
+    net_contact_lv = f_ext_f
+    if f_ext_extra is not None:
+        extra_lv = f_ext_extra[meta["perm_b"]]
+        f_ext_n = f_ext_n + extra_lv[:, 0:3]
+        f_ext_f = f_ext_f + extra_lv[:, 3:6]
+        net_contact_lv = net_contact_lv + extra_lv[:, 3:6]
+
+    # ---- bias forces (level order) ----------------------------------------- #
+    perm_b = meta["perm_b"]
+    mass_lv = model.body_mass[perm_b]
+    com_lv = model.body_com[perm_b]
+    I_lv = model.spatial_inertia[perm_b]
+    f_grav_w = mass_lv[:, None] * g
+    com_w = q.quat_rotate(rots, com_lv)
+    n_tot = f_ext_n + jnp.cross(com_w, f_grav_w)
+    f_tot = f_ext_f + f_grav_w
+    f_body = sp.make(
+        q.quat_rotate_inverse(rots, n_tot), q.quat_rotate_inverse(rots, f_tot)
+    )
+    Iv = sp.mul_inertia(I_lv, v)
+    pA = sp.cross_force(v, Iv) - f_body
+
+    # ---- pass 2: articulated inertias, per level (leaves -> root) ---------- #
+    starts = meta["starts"]
+    IA_lv = [
+        I_lv[starts[l] : starts[l + 1]] for l in range(L)
+    ]
+    pA_lv = [pA[starts[l] : starts[l + 1]] for l in range(L)]
+    cb_lv = [c_bias[starts[l] : starts[l + 1]] for l in range(L)]
+    U_lv = [None] * L
+    Dinv_lv = [None] * L
+    u_lv = [None] * L
+    eye3 = jnp.eye(3)
+    for l in range(L - 1, 0, -1):
+        IA_l = IA_lv[l]
+        U = IA_l[:, :, 0:3]
+        arm_l = jslice(arm, l)[:, None, None]
+        diag = arm_l * eye3 + jax.vmap(jnp.diag)(jslice(d_extra, l))
+        D = IA_l[:, 0:3, 0:3] + diag
+        Dinv = sp.inv3(D)
+        u = jslice(tau, l) - pA_lv[l][:, 0:3]
+        Ia = IA_l - U @ Dinv @ jnp.swapaxes(U, -1, -2)
+        pa = (
+            pA_lv[l]
+            + sp.mul_inertia(Ia, cb_lv[l])
+            + jnp.einsum("lij,lj->li", U, jnp.einsum("lij,lj->li", Dinv, u))
+        )
+        jr_l = jslice(jr, l)
+        lt_l = jslice(lt, l)
+        Ia_p = sp.inertia_to_parent(jr_l, lt_l, Ia)
+        pa_p = sp.force_to_parent(jr_l, lt_l, pa)
+        pl = jnp.asarray(meta["parent_local"][l])
+        n_prev = meta["sizes"][l - 1]
+        IA_lv[l - 1] = IA_lv[l - 1] + jax.ops.segment_sum(Ia_p, pl, num_segments=n_prev)
+        pA_lv[l - 1] = pA_lv[l - 1] + jax.ops.segment_sum(pa_p, pl, num_segments=n_prev)
+        U_lv[l] = U
+        Dinv_lv[l] = Dinv
+        u_lv[l] = u
+
+    # ---- pass 3: accelerations (root -> leaves) ----------------------------- #
+    a_lv = [-sp.solve6_sym(IA_lv[0][0], pA_lv[0][0])[None]]
+    qdd_lv = []
+    for l in range(1, L):
+        pl = meta["parent_local"][l]
+        a_p = sp.motion_to_child(jslice(jr, l), jslice(lt, l), a_lv[l - 1][pl]) + cb_lv[l]
+        qdd_l = jnp.einsum("lij,lj->li", Dinv_lv[l], u_lv[l]) - jnp.einsum(
+            "lij,lj->li", Dinv_lv[l], jnp.einsum("lji,lj->li", U_lv[l], a_p)
+        )
+        a_lv.append(a_p + jnp.concatenate([qdd_l, jnp.zeros_like(qdd_l)], axis=-1))
+        qdd_lv.append(qdd_l)
+
+    qdd_lvorder = jnp.concatenate(qdd_lv)                # [23, 3] level order
+    qdd = qdd_lvorder[meta["inv_perm_j"]]                # original joint order
+    a0 = a_lv[0][0]
+    net_contact = net_contact_lv[meta["inv_perm_b"]]
+
+    # ---- integrate ---------------------------------------------------------- #
+    root_vel6 = state.root_vel6 + h * a0
+    joint_omega = state.joint_omega + h * qdd
+    root_rot = q.quat_mul_norm(state.root_rot, q.exp_map_to_quat(h * root_vel6[0:3]))
+    root_pos = state.root_pos + h * q.quat_rotate(state.root_rot, root_vel6[3:6])
+    joint_rot = q.quat_mul_norm(state.joint_rot, q.exp_map_to_quat(h * joint_omega))
+    return state.replace(
+        root_pos=root_pos,
+        root_rot=root_rot,
+        joint_rot=joint_rot,
+        root_vel6=root_vel6,
+        joint_omega=joint_omega,
+        contact_force=net_contact,
+    )
