@@ -36,6 +36,8 @@ class PhysicsConfig:
     # joint limit penalty spring
     limit_stiffness: float = 400.0
     limit_damping: float = 10.0
+    # capsule-capsule self collision (filtered pairs)
+    self_collision: bool = False
     # PD gain scaling (≙ kp_scale/kd_scale cfg, humanoid.py load_smpl_configs)
     kp_scale: float = 1.0
     kd_scale: float = 1.0
@@ -96,6 +98,11 @@ class Model:
     cp_offset: jax.Array = None           # [P, 3] body frame
     cp_radius: jax.Array = None           # [P]
     cp_friction: jax.Array = None         # [P]
+
+    # per-body capsule proxies for self-collision
+    cap_p0: jax.Array = None              # [J, 3]
+    cap_p1: jax.Array = None              # [J, 3]
+    cap_r: jax.Array = None               # [J]
 
     # optional heightfield terrain (None -> flat plane z=0)
     terrain_heights: jax.Array = None     # [H, W] meters
@@ -208,6 +215,9 @@ def build_model(spec: RobotSpec, config: PhysicsConfig | None = None) -> Model:
         )
 
     cp_body, cp_offset, cp_radius, cp_fric = _contact_points(spec)
+    from pulse_tpu.physics.self_collision import capsule_proxies
+
+    cap_p0, cap_p1, cap_r = capsule_proxies(spec)
     joint_names = list(tree.node_names[1:])
     pd_offset, pd_scale = build_pd_action_offset_scale(
         spec.dof_lower, spec.dof_upper, joint_names
@@ -243,4 +253,7 @@ def build_model(spec: RobotSpec, config: PhysicsConfig | None = None) -> Model:
         cp_offset=jnp.asarray(cp_offset),
         cp_radius=jnp.asarray(cp_radius),
         cp_friction=jnp.asarray(cp_fric),
+        cap_p0=jnp.asarray(cap_p0),
+        cap_p1=jnp.asarray(cap_p1),
+        cap_r=jnp.asarray(cap_r),
     )

@@ -49,44 +49,62 @@ class PhysicsState:
 def _fk_world(model: Model, root_pos, root_rot, joint_rot):
     """World rotations/positions of all bodies from generalized coords.
 
-    Level-parallel: each tree depth is one batched gather+compose step
-    (9 levels for the SMPL humanoid instead of 24 sequential bodies)."""
+    Level-parallel and scatter-free: per-level arrays with static gathers
+    from the previous level, one concatenate + inverse permutation at the
+    end (parents always live exactly one level up)."""
+    from pulse_tpu.physics.substep_lp import _level_meta
 
+    meta = _level_meta(model.levels, model.num_bodies)
+    jr = joint_rot[meta["perm_j"]]
+    lt = model.local_translation[meta["perm_j"] + 1]
+    starts = meta["starts"]
 
-    J = model.num_bodies
-    rots = jnp.zeros((J, 4)).at[0].set(root_rot)
-    poss = jnp.zeros((J, 3)).at[0].set(root_pos)
-    for body_ids, parent_ids in model.levels[1:]:
-        b = np.asarray(body_ids)
-        p = np.asarray(parent_ids)
-        p_rot = rots[p]
-        rots = rots.at[b].set(q.quat_mul_norm(p_rot, joint_rot[b - 1]))
-        poss = poss.at[b].set(
-            poss[p] + q.quat_rotate(p_rot, model.local_translation[b])
-        )
-    return rots, poss
+    rot_lv = [root_rot[None]]
+    pos_lv = [root_pos[None]]
+    for l in range(1, len(meta["body_ids"])):
+        pl = meta["parent_local"][l]
+        s = starts[l] - 1
+        e = s + meta["sizes"][l]
+        p_rot = rot_lv[l - 1][pl]
+        rot_lv.append(q.quat_mul_norm(p_rot, jr[s:e]))
+        pos_lv.append(pos_lv[l - 1][pl] + q.quat_rotate(p_rot, lt[s:e]))
+    inv = meta["inv_perm_b"]
+    return jnp.concatenate(rot_lv)[inv], jnp.concatenate(pos_lv)[inv]
 
 
 def refresh_kinematics(model: Model, state: PhysicsState) -> PhysicsState:
     """Recompute derived world-frame body states from generalized coords."""
+    from pulse_tpu.physics.substep_lp import _level_meta
 
+    meta = _level_meta(model.levels, model.num_bodies)
+    jr = state.joint_rot[meta["perm_j"]]
+    lt = model.local_translation[meta["perm_j"] + 1]
+    om = state.joint_omega[meta["perm_j"]]
+    starts = meta["starts"]
 
-    body_rot, body_pos = _fk_world(model, state.root_pos, state.root_rot, state.joint_rot)
-
-    J = model.num_bodies
-    w = jnp.zeros((J, 3)).at[0].set(q.quat_rotate(state.root_rot, state.root_vel6[0:3]))
-    v = jnp.zeros((J, 3)).at[0].set(q.quat_rotate(state.root_rot, state.root_vel6[3:6]))
-    for body_ids, parent_ids in model.levels[1:]:
-        b = np.asarray(body_ids)
-        p = np.asarray(parent_ids)
-        r = body_pos[b] - body_pos[p]
-        v = v.at[b].set(v[p] + jnp.cross(w[p], r))
-        w = w.at[b].set(w[p] + q.quat_rotate(body_rot[b], state.joint_omega[b - 1]))
+    rot_lv = [state.root_rot[None]]
+    pos_lv = [state.root_pos[None]]
+    w_lv = [q.quat_rotate(state.root_rot, state.root_vel6[0:3])[None]]
+    v_lv = [q.quat_rotate(state.root_rot, state.root_vel6[3:6])[None]]
+    for l in range(1, len(meta["body_ids"])):
+        pl = meta["parent_local"][l]
+        s = starts[l] - 1
+        e = s + meta["sizes"][l]
+        p_rot = rot_lv[l - 1][pl]
+        p_pos = pos_lv[l - 1][pl]
+        rot_l = q.quat_mul_norm(p_rot, jr[s:e])
+        pos_l = p_pos + q.quat_rotate(p_rot, lt[s:e])
+        r = pos_l - p_pos
+        v_lv.append(v_lv[l - 1][pl] + jnp.cross(w_lv[l - 1][pl], r))
+        w_lv.append(w_lv[l - 1][pl] + q.quat_rotate(rot_l, om[s:e]))
+        rot_lv.append(rot_l)
+        pos_lv.append(pos_l)
+    inv = meta["inv_perm_b"]
     return state.replace(
-        body_pos=body_pos,
-        body_rot=body_rot,
-        body_vel=v,
-        body_ang_vel=w,
+        body_pos=jnp.concatenate(pos_lv)[inv],
+        body_rot=jnp.concatenate(rot_lv)[inv],
+        body_vel=jnp.concatenate(v_lv)[inv],
+        body_ang_vel=jnp.concatenate(w_lv)[inv],
     )
 
 

@@ -69,14 +69,17 @@ def physics_step(
     substeps (compliant contacts oscillate at the substep rate; the mean is
     the physically meaningful load and feeds fall termination, ≙ contact_buf
     in humanoid.py:1572-1608)."""
-    from pulse_tpu.physics.substep_lp import lp_substep
+    from pulse_tpu.physics.substep_fused import fused_substep
 
     cfg = model.config
     h = cfg.h
     n = cfg.steps_per_control
     acc = jnp.zeros_like(state.contact_force)
     for _ in range(n):
-        state = lp_substep(model, state, pd_target_dof, h)
+        # fused_substep benchmarks faster than the scatter-free
+        # substep_lp variant on v5e (163k vs 142k steps/s @ 4096 envs);
+        # both are golden-tested equal — revisit per TPU generation
+        state = fused_substep(model, state, pd_target_dof, h)
         acc = acc + state.contact_force
     state = refresh_kinematics(model, state)
     return state.replace(contact_force=acc / n)

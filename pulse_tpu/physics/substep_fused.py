@@ -97,6 +97,15 @@ def fused_substep(
     if f_ext_extra is not None:
         f_ext = f_ext + f_ext_extra
         net_contact = net_contact + f_ext_extra[:, 3:6]
+    if cfg.self_collision:
+        from pulse_tpu.physics.self_collision import self_collision_forces
+
+        f_self = self_collision_forces(
+            model, model.cap_p0, model.cap_p1, model.cap_r,
+            poss, rots, vl_world, w_world,
+        )
+        f_ext = f_ext + f_self
+        net_contact = net_contact + f_self[:, 3:6]
 
     # ---- torques ---------------------------------------------------------- #
     tau, d_extra = spd_joint_torques(model, state, pd_target_dof, h)
