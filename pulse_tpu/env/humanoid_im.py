@@ -149,6 +149,31 @@ class HumanoidImEnv:
         )
         self.amp_obs_dim = self.config.num_amp_obs_steps * self.amp_obs_dim_single
         self.action_dim = D
+        # Precomputed per-frame AMP obs: resets / demo fetches become pure
+        # gathers instead of 10 motion-state recomputations per env per step.
+        # Gated by size so AMASS-scale stores fall back to on-the-fly.
+        self.amp_frame_table = None
+        if int(motion.num_frames_total) * self.amp_obs_dim_single <= 64_000_000:
+            self.amp_frame_table = self._build_amp_frame_table()
+
+    def _build_amp_frame_table(self) -> jax.Array:
+        """AMP obs of every stored motion frame, one batched call. [F, A]."""
+        from pulse_tpu.ops import quat as _q
+
+        m = self.motion
+        F = m.gts.shape[0]
+        dof_pos = _q.quat_to_exp_map(m.lrs[:, 1:]).reshape(F, -1)
+        return kernels.build_amp_observations_smpl(
+            m.gts[:, 0],
+            m.grs[:, 0],
+            m.gvs[:, 0],
+            m.gavs[:, 0],
+            dof_pos,
+            m.dvs,
+            m.gts[:, self.key_body_ids],
+            local_root_obs=self.config.local_root_obs,
+            root_height_obs=self.config.root_height_obs,
+        )
 
     # ------------------------------------------------------------------ #
     # reference state lookup
@@ -239,6 +264,15 @@ class HumanoidImEnv:
         dt = self.model.config.control_dt
         times = jnp.maximum(start_time - jnp.arange(S, dtype=jnp.float32) * dt, 0.0)
         ids = jnp.broadcast_to(motion_id, (S,))
+        if self.amp_frame_table is not None:
+            # nearest-frame gather from the precomputed table
+            m = self.motion
+            num_frames = m.motion_num_frames[ids]
+            mdt = m.motion_dt[ids]
+            f = jnp.clip(
+                jnp.round(times / mdt).astype(jnp.int32), 0, num_frames - 1
+            )
+            return self.amp_frame_table[m.length_starts[ids] + f]
         st = get_motion_state(self.motion, ids, times)
         return kernels.build_amp_observations_smpl(
             st["root_pos"],

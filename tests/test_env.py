@@ -52,6 +52,28 @@ class TestReset:
         task = np.asarray(state.obs[:, env.self_obs_dim :])
         assert np.abs(task[:, :72]).max() < 0.25
 
+    def test_amp_obs_consistency(self, env):
+        """≙ HACK_CONSISTENCY_TEST (humanoid_amp.py:748-783): after
+        teleporting the sim onto the reference state, the sim-derived AMP
+        obs must match the motion-lib-derived AMP obs."""
+        from pulse_tpu.env import kernels
+        from pulse_tpu.motion import get_motion_state
+
+        keys = jax.random.split(jax.random.PRNGKey(11), 4)
+        state = env.reset(keys)
+        # sim-derived AMP obs straight from the teleported physics state
+        sim_amp = np.asarray(jax.vmap(env._amp_obs)(state))
+        ref = get_motion_state(env.motion, state.motion_id, state.start_time)
+        lib_amp = np.asarray(
+            kernels.build_amp_observations_smpl(
+                ref["root_pos"], ref["root_rot"], ref["root_vel"],
+                ref["root_ang_vel"], ref["dof_pos"], ref["dof_vel"],
+                ref["rg_pos"][:, env.key_body_ids],
+            )
+        )
+        # blended interframe states introduce small lerp-vs-FK gaps
+        np.testing.assert_allclose(sim_amp, lib_amp, atol=3e-2)
+
 
 class TestStep:
     def test_step_shapes(self, env):
