@@ -36,7 +36,9 @@ class AMPConfig:
     disc_grad_penalty: float = 5.0
     disc_reward_scale: float = 2.0
     disc_weight_decay: float = 0.0001
-    disc_learning_rate: float = 2e-5
+    # separate optimizer: reference folds disc_coef=5 into a shared update
+    # (amp_agent.py:605-760); an equivalent standalone lr is 5 * 2e-5
+    disc_learning_rate: float = 1e-4
     amp_batch_size: int = 512
     amp_buffer_size: int = 16384     # device-resident (reference: 200k host)
     replay_keep_prob: float = 0.01

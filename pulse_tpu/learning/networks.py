@@ -78,8 +78,14 @@ class Discriminator(nn.Module):
     @nn.compact
     def __call__(self, amp_obs):
         h = MLP(self.units, self.activation)(amp_obs)
+        # symmetric uniform init on the logit layer (≙ torch's
+        # uniform_(-1, 1) DISC_LOGIT_INIT_SCALE; flax's `uniform` is
+        # positive-only and would bias the disc to "demo" everywhere)
         return nn.Dense(
-            1, kernel_init=nn.initializers.uniform(scale=2.0)
+            1,
+            kernel_init=nn.initializers.variance_scaling(
+                1.0, "fan_in", "uniform"
+            ),
         )(h)[..., 0]
 
 

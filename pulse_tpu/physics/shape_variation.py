@@ -59,6 +59,9 @@ def vary_model_scales(
         cp_friction=jnp.broadcast_to(
             model.cp_friction, (num_envs,) + model.cp_friction.shape
         ),
+        cap_p0=b(model.cap_p0),
+        cap_p1=b(model.cap_p1),
+        cap_r=b(model.cap_r),
     )
 
 
