@@ -59,6 +59,7 @@ def plane_contact_forces(
         jnp.maximum(cfg.contact_stiffness * depth - cfg.contact_damping * vn, 0.0),
         0.0,
     )
+    fn = jnp.minimum(fn, cfg.max_contact_force)
 
     vt = vp - vn[:, None] * normal                                  # tangential
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-12)

@@ -33,6 +33,10 @@ class PhysicsConfig:
     contact_stiffness: float = 3.0e4
     contact_damping: float = 1.2e3
     friction_regularization: float = 0.08  # m/s scale for smooth Coulomb
+    # robustness clamps (≙ Isaac max_depenetration_velocity / max velocities)
+    max_contact_force: float = 2000.0      # per contact point, N
+    max_angular_velocity: float = 64.0     # rad/s (Isaac default)
+    max_linear_velocity: float = 50.0      # m/s
     # joint limit penalty spring
     limit_stiffness: float = 400.0
     limit_damping: float = 10.0

@@ -29,6 +29,7 @@ def _substep(
     f_ext_extra: jax.Array | None = None,
 ):
     # world kinematics for contacts + force frames
+    cfg = model.config
     state = refresh_kinematics(model, state)
     f_ext, net_contact = plane_contact_forces(
         model, state.body_pos, state.body_rot, state.body_vel, state.body_ang_vel
@@ -42,6 +43,12 @@ def _substep(
     # semi-implicit Euler: velocities first, then positions
     root_vel6 = state.root_vel6 + h * a0
     joint_omega = state.joint_omega + h * qdd
+    # velocity clamps (Isaac-style max velocities; guards penalty-contact blowups)
+    root_vel6 = jnp.concatenate([
+        jnp.clip(root_vel6[0:3], -cfg.max_angular_velocity, cfg.max_angular_velocity),
+        jnp.clip(root_vel6[3:6], -cfg.max_linear_velocity, cfg.max_linear_velocity),
+    ])
+    joint_omega = jnp.clip(joint_omega, -cfg.max_angular_velocity, cfg.max_angular_velocity)
 
     root_rot = q.quat_mul_norm(
         state.root_rot, q.exp_map_to_quat(h * root_vel6[0:3])

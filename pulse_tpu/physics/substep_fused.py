@@ -83,6 +83,7 @@ def fused_substep(
         jnp.maximum(cfg.contact_stiffness * depth - cfg.contact_damping * vn, 0.0),
         0.0,
     )
+    fn = jnp.minimum(fn, cfg.max_contact_force)
     vt = vp - vn[:, None] * normal
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-12)
     scale = jnp.minimum(vt_norm / cfg.friction_regularization, 1.0)
@@ -167,6 +168,12 @@ def fused_substep(
     # ---- integrate -------------------------------------------------------- #
     root_vel6 = state.root_vel6 + h * a[0]
     joint_omega = state.joint_omega + h * qdd[1:]
+    # velocity clamps (Isaac-style max velocities; guards penalty-contact blowups)
+    root_vel6 = jnp.concatenate([
+        jnp.clip(root_vel6[0:3], -cfg.max_angular_velocity, cfg.max_angular_velocity),
+        jnp.clip(root_vel6[3:6], -cfg.max_linear_velocity, cfg.max_linear_velocity),
+    ])
+    joint_omega = jnp.clip(joint_omega, -cfg.max_angular_velocity, cfg.max_angular_velocity)
     root_rot = q.quat_mul_norm(state.root_rot, q.exp_map_to_quat(h * root_vel6[0:3]))
     root_pos = state.root_pos + h * q.quat_rotate(state.root_rot, root_vel6[3:6])
     joint_rot = q.quat_mul_norm(state.joint_rot, q.exp_map_to_quat(h * joint_omega))
