@@ -57,6 +57,9 @@ class EnvConfig:
     power_coefficient: float = 0.0005
     cycle_motion: bool = False
     obs_v: int = 6                  # imitation task-obs version (humanoid_im.py:708-851)
+    self_obs_v: int = 1             # 1 plain / 2 +5-step history / 3 +foot force
+                                    # sensors (humanoid.py:1137-1213, 1735-1849)
+    self_obs_hist_steps: int = 5
     obs_noise_std: float = 0.0      # training-time obs perturbation (humanoid_im.py:691-692)
     num_amp_obs_steps: int = 10     # discriminator window (humanoid_amp.py:91)
     key_bodies: Sequence[str] = DEFAULT_KEY_BODIES
@@ -91,6 +94,7 @@ class EnvState:
     terminate: jax.Array       # bool []
     amp_hist: jax.Array        # [S, amp_obs_dim_single] newest first
     recovery_counter: jax.Array = 0  # steps of termination grace (getup)
+    self_obs_hist: jax.Array | None = None  # [H, single] for self_obs_v == 2
 
     @property
     def amp_obs(self) -> jax.Array:
@@ -127,7 +131,20 @@ class HumanoidImEnv:
             )
         J = model.num_bodies
         self.num_bodies = J
-        self.self_obs_dim = (1 if self.config.root_height_obs else 0) + (J - 1) * 3 + J * 6 + J * 3 + J * 3
+        self.self_obs_dim_single = (
+            (1 if self.config.root_height_obs else 0) + (J - 1) * 3 + J * 6 + J * 3 + J * 3
+        )
+        if self.config.self_obs_v == 3:
+            # + force "sensors" on the contact feet (≙ v3 sensor channel,
+            # humanoid.py:1793-1849): force + torque per ankle
+            self.sensor_body_ids = np.asarray(
+                [self._names.index(n) for n in ("L_Ankle", "R_Ankle")], np.int32
+            )
+            self.self_obs_dim_single += 6 * len(self.sensor_body_ids)
+        if self.config.self_obs_v == 2:
+            self.self_obs_dim = self.config.self_obs_hist_steps * self.self_obs_dim_single
+        else:
+            self.self_obs_dim = self.self_obs_dim_single
         T = self.config.num_traj_samples
         Jt = len(self.track_body_ids)
         obs_v = self.config.obs_v
@@ -255,6 +272,13 @@ class HumanoidImEnv:
             amp_hist=self._init_amp_hist(motion_id, start_time),
             recovery_counter=jnp.zeros((), jnp.int32),
         )
+        if self.config.self_obs_v == 2:
+            single = self._self_obs_single(state)
+            state = state.replace(
+                self_obs_hist=jnp.tile(
+                    single[None], (self.config.self_obs_hist_steps, 1)
+                )
+            )
         return state.replace(obs=self._observe(state))
 
     def _init_amp_hist(self, motion_id, start_time) -> jax.Array:
@@ -290,10 +314,10 @@ class HumanoidImEnv:
     # observations
     # ------------------------------------------------------------------ #
 
-    def _observe(self, state: EnvState) -> jax.Array:
+    def _self_obs_single(self, state: EnvState) -> jax.Array:
         cfg = self.config
         ph = state.physics
-        self_obs = kernels.compute_humanoid_self_obs_max(
+        so = kernels.compute_humanoid_self_obs_max(
             ph.body_pos[None],
             ph.body_rot[None],
             ph.body_vel[None],
@@ -301,6 +325,19 @@ class HumanoidImEnv:
             local_root_obs=cfg.local_root_obs,
             root_height_obs=cfg.root_height_obs,
         )[0]
+        if cfg.self_obs_v == 3:
+            # foot force sensors: net contact force + torque proxy
+            f = ph.contact_force[self.sensor_body_ids].reshape(-1)
+            so = jnp.concatenate([so, f, jnp.zeros_like(f)])
+        return so
+
+    def _observe(self, state: EnvState) -> jax.Array:
+        cfg = self.config
+        ph = state.physics
+        if cfg.self_obs_v == 2:
+            self_obs = state.self_obs_hist.reshape(-1)
+        else:
+            self_obs = self._self_obs_single(state)
         # task obs targets the NEXT control step (humanoid_im.py:708-729),
         # restricted to the tracked-body subset (VR-style sparse tracking
         # when configured, humanoid_im.py:62-69)
@@ -432,6 +469,12 @@ class HumanoidImEnv:
         amp_hist = jnp.roll(state.amp_hist, 1, axis=0).at[0].set(
             self._amp_obs(stepped)
         )
+        if cfg.self_obs_v == 2:
+            stepped = stepped.replace(
+                self_obs_hist=jnp.roll(state.self_obs_hist, 1, axis=0)
+                .at[0]
+                .set(self._self_obs_single(stepped))
+            )
         obs = self._observe(stepped)
         if cfg.obs_noise_std > 0:
             k_noise, _ = jax.random.split(jax.random.fold_in(state.key, 17))

@@ -54,3 +54,34 @@ class TestImEval:
         out = jax.jit(env.step)(state, jnp.zeros((2, env.action_dim)))
         assert out.obs.shape == (2, env.obs_dim)
         assert np.all(np.isfinite(np.asarray(out.obs)))
+
+
+class TestSelfObsVariants:
+    def _mk(self, **kw):
+        spec = load_smpl_humanoid()
+        model = build_model(spec, PhysicsConfig())
+        clips = make_synthetic_clips(spec.skeleton, num_clips=1, seconds=1.0)
+        motion = build_motion_data(spec.skeleton, clips)
+        return HumanoidImEnv(model, motion, EnvConfig(num_amp_obs_steps=2, **kw))
+
+    def test_self_obs_v2_history(self):
+        env = self._mk(self_obs_v=2)
+        assert env.self_obs_dim == 5 * 358
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        state = jax.jit(env.reset)(keys)
+        assert state.obs.shape == (2, env.obs_dim)
+        # at reset the history is the current frame repeated
+        h = np.asarray(state.self_obs_hist)
+        np.testing.assert_allclose(h[:, 0], h[:, 1])
+        out = jax.jit(env.step)(state, jnp.zeros((2, env.action_dim)))
+        h2 = np.asarray(out.self_obs_hist)
+        # after one step the newest entry differs from the oldest
+        assert np.abs(h2[:, 0] - h2[:, -1]).max() > 1e-5
+
+    def test_self_obs_v3_sensors(self):
+        env = self._mk(self_obs_v=3)
+        assert env.self_obs_dim == 358 + 12
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        state = jax.jit(env.reset)(keys)
+        out = jax.jit(env.step)(state, jnp.zeros((2, env.action_dim)))
+        assert np.all(np.isfinite(np.asarray(out.obs)))
