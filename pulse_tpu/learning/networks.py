@@ -34,12 +34,13 @@ _ACT = {
 class MLP(nn.Module):
     units: Sequence[int]
     activation: str = "silu"
+    dtype: object = None          # compute dtype (bf16 on TPU); params stay f32
 
     @nn.compact
     def __call__(self, x):
         act = _ACT[self.activation]
         for u in self.units:
-            x = act(nn.Dense(u)(x))
+            x = act(nn.Dense(u, dtype=self.dtype)(x))
         return x
 
 
@@ -52,14 +53,18 @@ class ActorCritic(nn.Module):
     activation: str = "silu"
     init_sigma: float = -2.9
     learn_sigma: bool = False
+    # bf16 compute (f32 params/outputs): MXU runs 2x faster; heads stay f32
+    dtype: object = jnp.bfloat16
 
     @nn.compact
     def __call__(self, obs):
         mu = nn.Dense(self.action_dim, kernel_init=nn.initializers.variance_scaling(
             0.01, "fan_in", "truncated_normal"))(
-            MLP(self.actor_units, self.activation)(obs)
+            MLP(self.actor_units, self.activation, dtype=self.dtype)(obs).astype(jnp.float32)
         )
-        value = nn.Dense(1)(MLP(self.critic_units, self.activation)(obs))[..., 0]
+        value = nn.Dense(1)(
+            MLP(self.critic_units, self.activation, dtype=self.dtype)(obs).astype(jnp.float32)
+        )[..., 0]
         if self.learn_sigma:
             log_sigma = self.param(
                 "log_sigma", nn.initializers.constant(self.init_sigma), (self.action_dim,)

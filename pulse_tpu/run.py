@@ -293,7 +293,9 @@ def main(argv=None):
     if cfg["test"]:
         return run_eval(cfg, env, agent, ts)
 
-    train = jax.jit(agent.train_epoch)
+    # donate the train state: env states / params / optimizer buffers update
+    # in place instead of being copied every epoch
+    train = jax.jit(agent.train_epoch, donate_argnums=0)
     log_path = os.path.join(out_dir, "metrics.jsonl")
     t_start = time.time()
     steps_per_epoch = int(cfg["num_envs"]) * int(cfg["learning"]["horizon_length"])
@@ -338,7 +340,7 @@ def main(argv=None):
                 env.motion, _jnp.asarray(result.failed_motions)
             )
             env.motion = motion
-            train = jax.jit(agent.train_epoch)
+            train = jax.jit(agent.train_epoch, donate_argnums=0)
     save_checkpoint(ckpt_dir, int(cfg["max_epochs"]), ts)
 
 
