@@ -44,6 +44,12 @@ class AMPConfig:
     replay_keep_prob: float = 0.01
     task_reward_w: float = 0.5
     disc_reward_w: float = 0.5
+    # AMP-obs dropout: zero a random contiguous chunk of disc inputs during
+    # training (≙ amp_dropout / ModelAMPContinuous joint dropout,
+    # amp_models.py:62-107)
+    amp_dropout: bool = False
+    amp_dropout_prob: float = 0.3
+    amp_dropout_frac: float = 0.2
 
 
 @struct.dataclass
@@ -219,6 +225,20 @@ class AMPModule:
             jax.random.uniform(k_mix, (n, 1)) < 0.5
         ) & (amp_state.replay_buffer.size > 0)
         agent_mix = jnp.where(use_replay, replay_obs, agent_obs)
+
+        if cfg.amp_dropout:
+            k_drop, k_where = jax.random.split(jax.random.fold_in(key, 9))
+            dim = agent_mix.shape[-1]
+            width = max(int(dim * cfg.amp_dropout_frac), 1)
+            start = jax.random.randint(k_where, (), 0, max(dim - width, 1))
+            idx = jnp.arange(dim)
+            mask = ((idx < start) | (idx >= start + width)).astype(agent_mix.dtype)
+            apply = (
+                jax.random.uniform(k_drop, (agent_mix.shape[0], 1))
+                < cfg.amp_dropout_prob
+            )
+            agent_mix = jnp.where(apply, agent_mix * mask, agent_mix)
+            demo_obs = jnp.where(apply, demo_obs * mask, demo_obs)
 
         rms = amp_state.amp_rms.update(jnp.concatenate([flat, demo_new]))
         (loss, metrics), grads = jax.value_and_grad(self._disc_loss, has_aux=True)(

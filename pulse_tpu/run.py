@@ -296,7 +296,11 @@ def main(argv=None):
     # donate the train state: env states / params / optimizer buffers update
     # in place instead of being copied every epoch
     train = jax.jit(agent.train_epoch, donate_argnums=0)
-    log_path = os.path.join(out_dir, "metrics.jsonl")
+    from pulse_tpu.utils.logger import MetricLogger
+
+    logger = MetricLogger(
+        out_dir, exp_name=cfg["exp_name"], use_wandb=bool(cfg.get("use_wandb", False))
+    )
     t_start = time.time()
     steps_per_epoch = int(cfg["num_envs"]) * int(cfg["learning"]["horizon_length"])
     for epoch in range(epoch0, int(cfg["max_epochs"])):
@@ -304,16 +308,15 @@ def main(argv=None):
         if epoch % int(cfg["log_frequency"]) == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics.update(
-                epoch=epoch,
                 time=round(time.time() - t_start, 1),
                 fps=round(
                     steps_per_epoch * (epoch - epoch0 + 1) / (time.time() - t_start)
                 ),
             )
-            with open(log_path, "a") as fh:
-                fh.write(json.dumps(metrics) + "\n")
+            logger.log(metrics, epoch)
             print(
-                " ".join(
+                f"epoch={epoch} "
+                + " ".join(
                     f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                     for k, v in metrics.items()
                 )
