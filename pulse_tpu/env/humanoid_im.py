@@ -21,6 +21,7 @@ from flax import struct
 
 from pulse_tpu.env import kernels
 from pulse_tpu.motion.motion_lib import MotionData, get_motion_state, sample_motions, sample_time
+from pulse_tpu.ops import quat as q_ops
 from pulse_tpu.physics.model import Model
 from pulse_tpu.physics.state import (
     PhysicsState,
@@ -61,6 +62,12 @@ class EnvConfig:
                                     # sensors (humanoid.py:1137-1213, 1735-1849)
     self_obs_hist_steps: int = 5
     obs_noise_std: float = 0.0      # training-time obs perturbation (humanoid_im.py:691-692)
+    # far-goal mode (≙ zero_out_far, humanoid_im.py:763-776,870-892): when
+    # the character strays beyond the threshold from the reference, the
+    # imitation obs collapse to a point goal and the reward becomes
+    # walk-toward-the-reference; imitation termination is suspended
+    zero_out_far: bool = False
+    zero_out_far_distance: float = 5.0
     num_amp_obs_steps: int = 10     # discriminator window (humanoid_amp.py:91)
     key_bodies: Sequence[str] = DEFAULT_KEY_BODIES
     reset_bodies: Sequence[str] = DEFAULT_RESET_BODIES
@@ -375,7 +382,24 @@ class HumanoidImEnv:
                 ref["rg_pos"][None][:, :, tb], ref["rb_rot"][None][:, :, tb],
                 ref["body_vel"][None, :, 0], ref["body_ang_vel"][None, :, 0],
             )[0]
+        if cfg.zero_out_far:
+            far = self._far_from_ref(state)
+            # point goal: heading-local vector to the reference root
+            heading_inv = q_ops.calc_heading_quat_inv(ph.root_rot)
+            goal = q_ops.quat_rotate(
+                heading_inv, ref["rg_pos"][0, 0] - ph.root_pos
+            )
+            point_obs = jnp.zeros_like(task_obs).at[0:3].set(goal)
+            task_obs = jnp.where(far, point_obs, task_obs)
         return jnp.concatenate([self_obs, task_obs])
+
+    def _far_from_ref(self, state: EnvState) -> jax.Array:
+        t = self._motion_time(state)
+        ref = self._ref_state(state.motion_id, t)
+        d = jnp.linalg.norm(
+            ref["root_pos"][0:2] - state.physics.root_pos[0:2]
+        )
+        return d > self.config.zero_out_far_distance
 
     def _amp_obs(self, state: EnvState) -> jax.Array:
         ph = state.physics
@@ -450,6 +474,12 @@ class HumanoidImEnv:
                 tau[None], dof_vel[None], cfg.power_coefficient
             )[0]
 
+        if cfg.zero_out_far:
+            far = self._far_from_ref(state)
+            d = jnp.linalg.norm(ref["root_pos"][0:2] - physics.root_pos[0:2])
+            loc_reward = jnp.exp(-1.0 * d * d)  # compute_location_reward scale
+            reward = jnp.where(far, loc_reward, reward)
+
         length = self.motion.motion_lengths[state.motion_id]
         pass_time = (
             jnp.zeros((), bool)
@@ -459,6 +489,11 @@ class HumanoidImEnv:
         if cfg.cycle_motion:
             pass_time = progress >= cfg.episode_length
         reset, terminate = self._termination(state, ref, pass_time)
+        if cfg.zero_out_far:
+            # in far-goal mode the imitation-distance termination is off
+            far = self._far_from_ref(state)
+            terminate = terminate & ~far
+            reset = pass_time | terminate
 
         stepped = state.replace(
             reward=reward,

@@ -85,3 +85,33 @@ class TestSelfObsVariants:
         state = jax.jit(env.reset)(keys)
         out = jax.jit(env.step)(state, jnp.zeros((2, env.action_dim)))
         assert np.all(np.isfinite(np.asarray(out.obs)))
+
+
+class TestZeroOutFar:
+    def test_far_mode_switches_obs_and_reward(self):
+        spec = load_smpl_humanoid()
+        model = build_model(spec, PhysicsConfig())
+        clips = make_synthetic_clips(spec.skeleton, num_clips=1, seconds=1.0)
+        motion = build_motion_data(spec.skeleton, clips)
+        env = HumanoidImEnv(
+            model, motion,
+            EnvConfig(zero_out_far=True, zero_out_far_distance=1.0,
+                      num_amp_obs_steps=2),
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        state = jax.jit(env.reset)(keys)
+        # teleport one env 10 m away: it enters far mode
+        ph = state.physics
+        far_pos = ph.root_pos.at[0, 0].add(10.0)
+        far_body = ph.body_pos.at[0, :, 0].add(10.0)
+        state = state.replace(
+            physics=ph.replace(root_pos=far_pos, body_pos=far_body)
+        )
+        out = jax.jit(env.step)(state, jnp.zeros((2, env.action_dim)))
+        # far env: not terminated despite huge imitation distance
+        assert not bool(out.terminate[0])
+        # near env keeps ordinary tracking semantics
+        assert np.all(np.isfinite(np.asarray(out.obs)))
+        # far env's task obs is the sparse point goal (mostly zeros)
+        task = np.asarray(out.obs[0, env.self_obs_dim:])
+        assert np.count_nonzero(np.abs(task) > 1e-6) <= 3
