@@ -204,24 +204,50 @@ class HumanoidImEnv:
     # ------------------------------------------------------------------ #
 
     def _motion_time(self, state: EnvState) -> jax.Array:
+        """In-clip time; with cycle_motion the time wraps (the positional
+        continuation is handled by _cycle_offset)."""
         t = state.start_time + state.progress.astype(jnp.float32) * self.model.config.control_dt
         if self.config.cycle_motion:
             length = self.motion.motion_lengths[state.motion_id]
             t = jnp.mod(t, jnp.maximum(length, 1e-6))
         return t
 
-    def _ref_state(self, motion_id: jax.Array, t: jax.Array) -> dict:
+    def _cycle_offset(self, state: EnvState) -> jax.Array | None:
+        """World-space offset accumulated over motion cycles so the cycled
+        reference continues from where the clip ended instead of teleporting
+        back to the start (≙ motion cycling + global offset,
+        humanoid_im.py:1125-1150)."""
+        if not self.config.cycle_motion:
+            return None
+        m = self.motion
+        raw_t = state.start_time + state.progress.astype(jnp.float32) * self.model.config.control_dt
+        length = jnp.maximum(m.motion_lengths[state.motion_id], 1e-6)
+        cycles = jnp.floor(raw_t / length)
+        start = m.length_starts[state.motion_id]
+        last = start + m.motion_num_frames[state.motion_id] - 1
+        delta = m.gts[last, 0] - m.gts[start, 0]
+        return (cycles * delta).at[2].set(0.0)
+
+    def _ref_state(
+        self, motion_id: jax.Array, t: jax.Array, offset: jax.Array | None = None
+    ) -> dict:
         """Single-time reference state ([...] scalars in, [J,...] out)."""
-        st = get_motion_state(self.motion, motion_id[None], t[None])
+        st = get_motion_state(
+            self.motion, motion_id[None], t[None],
+            offset=None if offset is None else offset[None],
+        )
         return {k: v[0] for k, v in st.items()}
 
-    def _ref_track(self, motion_id: jax.Array, t: jax.Array) -> dict:
+    def _ref_track(
+        self, motion_id: jax.Array, t: jax.Array, offset: jax.Array | None = None
+    ) -> dict:
         """Future-track reference states for task obs: [T, J, ...]."""
         T = self.config.num_traj_samples
         offsets = jnp.arange(T, dtype=jnp.float32) * self.config.traj_sample_timestep
         times = t + offsets
         ids = jnp.broadcast_to(motion_id, (T,))
-        return get_motion_state(self.motion, ids, times)
+        off = None if offset is None else jnp.broadcast_to(offset, (T, 3))
+        return get_motion_state(self.motion, ids, times, offset=off)
 
     # ------------------------------------------------------------------ #
     # reset (reference state init, ≙ humanoid_im.py:921-989)
@@ -349,7 +375,7 @@ class HumanoidImEnv:
         # restricted to the tracked-body subset (VR-style sparse tracking
         # when configured, humanoid_im.py:62-69)
         t_next = self._motion_time(state) + self.model.config.control_dt
-        ref = self._ref_track(state.motion_id, t_next)
+        ref = self._ref_track(state.motion_id, t_next, self._cycle_offset(state))
         tb = self.track_body_ids
         obs_v = cfg.obs_v
         if obs_v == 6:
@@ -395,7 +421,7 @@ class HumanoidImEnv:
 
     def _far_from_ref(self, state: EnvState) -> jax.Array:
         t = self._motion_time(state)
-        ref = self._ref_state(state.motion_id, t)
+        ref = self._ref_state(state.motion_id, t, self._cycle_offset(state))
         d = jnp.linalg.norm(
             ref["root_pos"][0:2] - state.physics.root_pos[0:2]
         )
@@ -447,7 +473,7 @@ class HumanoidImEnv:
         state = state.replace(physics=physics, progress=progress)
 
         t = self._motion_time(state)
-        ref = self._ref_state(state.motion_id, t)
+        ref = self._ref_state(state.motion_id, t, self._cycle_offset(state))
 
         tb = self.track_body_ids
         reward, reward_raw = kernels.compute_imitation_reward(

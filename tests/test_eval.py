@@ -115,3 +115,37 @@ class TestZeroOutFar:
         # far env's task obs is the sparse point goal (mostly zeros)
         task = np.asarray(out.obs[0, env.self_obs_dim:])
         assert np.count_nonzero(np.abs(task) > 1e-6) <= 3
+
+
+class TestCycleMotion:
+    def test_cycle_offset_continues_position(self):
+        spec = load_smpl_humanoid()
+        model = build_model(spec, PhysicsConfig())
+        clips = make_synthetic_clips(spec.skeleton, num_clips=1, seconds=1.0)
+        motion = build_motion_data(spec.skeleton, clips)
+        env = HumanoidImEnv(
+            model, motion,
+            EnvConfig(cycle_motion=True, state_init="Start", num_amp_obs_steps=2),
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), 1)
+        state = jax.jit(env.reset)(keys)
+        # progress past the clip end (30 frames = 1 s clip)
+        s40 = state.replace(progress=jnp.full((1,), 40, jnp.int32))
+        off = jax.vmap(env._cycle_offset)(s40)
+        # one full cycle: offset equals the clip's net root displacement
+        import jax as _jax
+        delta = np.asarray(motion.gts[int(motion.motion_num_frames[0]) - 1, 0]
+                           - motion.gts[0, 0])
+        np.testing.assert_allclose(np.asarray(off[0])[:2], delta[:2], atol=1e-4)
+        assert float(off[0][2]) == 0.0
+        # the referenced root position at wrapped time includes the offset
+        t = jax.vmap(env._motion_time)(s40)
+        ref = jax.vmap(lambda mid, tt, oo: env._ref_state(mid, tt, oo))(
+            s40.motion_id, t, off
+        )
+        raw = jax.vmap(lambda mid, tt: env._ref_state(mid, tt))(s40.motion_id, t)
+        np.testing.assert_allclose(
+            np.asarray(ref["root_pos"][0]),
+            np.asarray(raw["root_pos"][0]) + np.asarray(off[0]),
+            atol=1e-5,
+        )
