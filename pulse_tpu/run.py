@@ -259,6 +259,22 @@ def build_teacher_from_cfg(cfg, env):
     return teacher_fn
 
 
+def strip_env_state(ts):
+    """Checkpoints hold model/optimizer/normalizer state only — env states
+    are ephemeral and num_envs-dependent (≙ rl-games save/restore scope)."""
+    if hasattr(ts, "ppo"):
+        return ts.replace(ppo=ts.ppo.replace(env_state=None))
+    return ts.replace(env_state=None)
+
+
+def attach_env_state(restored, fresh):
+    if hasattr(restored, "ppo"):
+        return restored.replace(
+            ppo=restored.ppo.replace(env_state=fresh.ppo.env_state)
+        )
+    return restored.replace(env_state=fresh.env_state)
+
+
 def main(argv=None):
     from pulse_tpu.utils.checkpoint import (
         latest_checkpoint,
@@ -286,7 +302,8 @@ def main(argv=None):
     if int(cfg["epoch"]) != 0:
         path = latest_checkpoint(ckpt_dir)
         if path:
-            ts = restore_checkpoint(path, ts)
+            restored = restore_checkpoint(path, strip_env_state(ts))
+            ts = attach_env_state(restored, ts)
             epoch0 = int(os.path.basename(path).split("_")[1])
             print(f"restored {path}")
 
@@ -326,7 +343,7 @@ def main(argv=None):
             and epoch > 0
             and epoch % int(cfg["save_frequency"]) == 0
         ):
-            save_checkpoint(ckpt_dir, epoch, ts)
+            save_checkpoint(ckpt_dir, epoch, strip_env_state(ts))
 
         # periodic im_eval + PMCP hard-negative reweighting (≙ IMAmpAgent
         # eval feedback, im_amp.py:136-242 + update_hard_sampling_weight).
@@ -344,7 +361,7 @@ def main(argv=None):
             )
             env.motion = motion
             train = jax.jit(agent.train_epoch, donate_argnums=0)
-    save_checkpoint(ckpt_dir, int(cfg["max_epochs"]), ts)
+    save_checkpoint(ckpt_dir, int(cfg["max_epochs"]), strip_env_state(ts))
 
 
 def run_eval(cfg, env, agent, ts):
