@@ -261,10 +261,12 @@ def build_teacher_from_cfg(cfg, env):
 
 def strip_env_state(ts):
     """Checkpoints hold model/optimizer/normalizer state only — env states
-    are ephemeral and num_envs-dependent (≙ rl-games save/restore scope)."""
+    are ephemeral and num_envs-dependent (≙ rl-games save/restore scope).
+    A fixed placeholder leaf keeps the checkpoint tree num_envs-agnostic."""
+    placeholder = jnp.zeros(1)
     if hasattr(ts, "ppo"):
-        return ts.replace(ppo=ts.ppo.replace(env_state=None))
-    return ts.replace(env_state=None)
+        return ts.replace(ppo=ts.ppo.replace(env_state=placeholder))
+    return ts.replace(env_state=placeholder)
 
 
 def attach_env_state(restored, fresh):
