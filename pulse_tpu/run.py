@@ -148,17 +148,29 @@ def wrap_env_z(cfg, env):
         self_obs_dim=env.self_obs_dim,
     )
     ckpt_dir = cfg["env"].get("z_checkpoint", "")
-    if ckpt_dir:
-        raise NotImplementedError(
-            "loading a distill checkpoint for Z tasks requires the saved "
-            "DistillState; use pulse_tpu.utils.checkpoint.extract_frozen_z_model"
-        )
-    # untrained decoder (functional smoke path when no checkpoint given)
     obs_dim = env.obs_dim
-    params = net.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, obs_dim)), jnp.zeros((1, latent_dim))
-    )["params"]
-    frozen = FrozenZModel(params=params, obs_rms=RunningMeanStd.create(obs_dim))
+    if ckpt_dir:
+        # checkpoint surgery: pull the frozen decoder/prior + input stats
+        # out of the distill checkpoint (≙ load_z_decoder/load_z_encoder,
+        # network_loader.py:76-176)
+        import orbax.checkpoint as ocp
+        from pulse_tpu.utils.checkpoint import latest_checkpoint
+
+        path = latest_checkpoint(ckpt_dir) or ckpt_dir
+        raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        rms = RunningMeanStd(
+            mean=jnp.asarray(raw["obs_rms"]["mean"]),
+            var=jnp.asarray(raw["obs_rms"]["var"]),
+            count=jnp.asarray(raw["obs_rms"]["count"]),
+        ).freeze()
+        frozen = FrozenZModel(params=raw["params"], obs_rms=rms)
+        print(f"frozen z model restored from {path}")
+    else:
+        # untrained decoder (functional smoke path when no checkpoint given)
+        params = net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, obs_dim)), jnp.zeros((1, latent_dim))
+        )["params"]
+        frozen = FrozenZModel(params=params, obs_rms=RunningMeanStd.create(obs_dim))
     return ZActionWrapper(env, net, frozen)
 
 
@@ -239,21 +251,37 @@ def build_agent_from_cfg(cfg, env):
 
 def build_teacher_from_cfg(cfg, env):
     """Frozen teacher policy for distillation (≙ humanoid_im_distill.py
-    teacher loaders). Without a checkpoint, a fresh network stands in so the
-    pipeline runs end to end."""
+    teacher loaders / network_loader.py checkpoint surgery): load a trained
+    PPO checkpoint's params + input stats and wrap them as a deterministic
+    policy. Without a checkpoint, a fresh network stands in so the pipeline
+    still runs end to end."""
     from pulse_tpu.learning.networks import ActorCritic
 
     l = cfg["learning"]
-    net = ActorCritic(action_dim=env.action_dim)
-    params = net.init(jax.random.PRNGKey(7), jnp.zeros((1, env.obs_dim)))["params"]
+    net = ActorCritic(
+        action_dim=env.action_dim,
+        actor_units=tuple(l.get("teacher_actor_units", (2048, 1536, 1024))),
+        critic_units=tuple(l.get("teacher_critic_units", (2048, 1536, 1024))),
+    )
     ckpt = l.get("teacher_checkpoint", "")
     if ckpt:
-        from pulse_tpu.utils.checkpoint import restore_checkpoint
+        import orbax.checkpoint as ocp
+        from pulse_tpu.utils.checkpoint import latest_checkpoint
 
-        params = restore_checkpoint(ckpt, params)
+        path = latest_checkpoint(ckpt) or ckpt
+        raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        params = raw["params"]
+        rms_mean = jnp.asarray(raw["obs_rms"]["mean"])
+        rms_var = jnp.asarray(raw["obs_rms"]["var"])
+        print(f"teacher restored from {path}")
+    else:
+        params = net.init(jax.random.PRNGKey(7), jnp.zeros((1, env.obs_dim)))["params"]
+        rms_mean = jnp.zeros(env.obs_dim)
+        rms_var = jnp.ones(env.obs_dim)
 
     def teacher_fn(obs):
-        mu, _, _ = net.apply({"params": params}, obs)
+        obs_n = jnp.clip((obs - rms_mean) / jnp.sqrt(rms_var + 1e-5), -5.0, 5.0)
+        mu, _, _ = net.apply({"params": params}, obs_n)
         return jnp.clip(mu, -1.0, 1.0)
 
     return teacher_fn
