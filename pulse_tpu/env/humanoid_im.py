@@ -465,10 +465,18 @@ class HumanoidImEnv:
         return reset[0], terminate[0]
 
     def step_one(self, state: EnvState, action: jax.Array, model: Model | None = None) -> EnvState:
-        cfg = self.config
         model = self.model if model is None else model
         pd_target = self.action_to_pd_target(action, model)
         physics = physics_step(model, state.physics, pd_target)
+        return self._finish_step(state, physics, pd_target, model)
+
+    def _finish_step(
+        self, state: EnvState, physics, pd_target: jax.Array, model: Model
+    ) -> EnvState:
+        """Everything after the physics advance: reward, termination, obs,
+        auto-reset. Split out so variants (projectiles, coupled props) can
+        substitute their own physics while reusing the bookkeeping."""
+        cfg = self.config
         progress = state.progress + 1
         state = state.replace(physics=physics, progress=progress)
 
