@@ -397,6 +397,16 @@ def main(argv=None):
 def run_eval(cfg, env, agent, ts):
     from pulse_tpu.eval import im_eval
 
+    # eval contract: early termination off so mid-clip auto-resets don't
+    # pollute the MPJPE accumulation (failure is latched separately)
+    if getattr(env.config, "enable_early_termination", False):
+        import dataclasses as _dc
+
+        env = type(env)(
+            env.model, env.motion,
+            _dc.replace(env.config, enable_early_termination=False),
+        )
+
     params = ts.ppo.params if hasattr(ts, "ppo") else ts.params
     obs_rms = ts.ppo.obs_rms if hasattr(ts, "ppo") else ts.obs_rms
     ppo_agent = agent.ppo if hasattr(agent, "ppo") else agent
