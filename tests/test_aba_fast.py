@@ -48,3 +48,21 @@ class TestABAFast:
         a0_fast, qdd_fast = aba_fast(model, state, tau, f_ext, state.body_rot, h, None)
         np.testing.assert_allclose(a0_fast, a0_ref, rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(qdd_fast, qdd_ref, rtol=1e-4, atol=1e-2)
+
+
+class TestInertiaCongruence:
+    def test_blocked_matches_generic(self):
+        from pulse_tpu.physics import spatial as sp
+        from pulse_tpu import ops
+
+        rng = np.random.default_rng(7)
+        L = 16
+        q_pc = ops.quat_unit(jnp.asarray(rng.normal(size=(L, 4))))
+        r = jnp.asarray(rng.normal(size=(L, 3)))
+        X = rng.normal(size=(L, 6, 6))
+        I_sym = jnp.asarray(X @ np.swapaxes(X, -1, -2))  # symmetric PSD
+
+        got = sp.inertia_to_parent(q_pc, r, I_sym)
+        M = sp.motion_matrix_to_child(q_pc, r)
+        want = jnp.swapaxes(M, -1, -2) @ I_sym @ M
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-3)
