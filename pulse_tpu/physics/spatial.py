@@ -82,27 +82,12 @@ def inertia_to_parent(q_pc: jax.Array, r: jax.Array, I_c: jax.Array) -> jax.Arra
     """Congruence-transform an articulated spatial inertia into the parent
     frame: I_p = M^T I_c M with M = motion_matrix_to_child.
 
-    Exploits the block structure of M and the symmetry of I: with
-    E = R(q_pc), rx = skew(r), I = [[A, B], [B^T, D]],
-      A' = E A E^T,  B' = E B E^T,  D' = E D E^T
-      I_p = [[A' - B' rx + rx B'^T - rx D' rx,  B' + rx D'],
-             [(B' + rx D')^T,                   D'        ]]
-    — ten 3x3 matmuls instead of two 6x6 (plus no M materialization)."""
-    E = q.quat_to_matrix(q_pc)
-    Et = jnp.swapaxes(E, -1, -2)
-    A = I_c[..., 0:3, 0:3]
-    B = I_c[..., 0:3, 3:6]
-    D = I_c[..., 3:6, 3:6]
-    Ap = E @ A @ Et
-    Bp = E @ B @ Et
-    Dp = E @ D @ Et
-    rx = skew(r)
-    rxDp = rx @ Dp
-    TR = Bp + rxDp
-    TL = Ap - Bp @ rx + rx @ jnp.swapaxes(Bp, -1, -2) - rxDp @ rx
-    top = jnp.concatenate([TL, TR], axis=-1)
-    bot = jnp.concatenate([jnp.swapaxes(TR, -1, -2), Dp], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    Note: a blocked-symmetric variant (ten 3x3 matmuls exploiting I's
+    symmetry) was tried and benchmarked 30% SLOWER end-to-end on v5e — XLA's
+    batched 6x6 dot lowering beats many tiny matmuls + slicing. Keep the
+    direct form."""
+    M = motion_matrix_to_child(q_pc, r)
+    return jnp.swapaxes(M, -1, -2) @ I_c @ M
 
 
 def skew(v: jax.Array) -> jax.Array:
