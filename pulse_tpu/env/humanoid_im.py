@@ -68,6 +68,11 @@ class EnvConfig:
     # walk-toward-the-reference; imitation termination is suspended
     zero_out_far: bool = False
     zero_out_far_distance: float = 5.0
+    # occlusion training (≙ _update_occl_training, humanoid_im.py:1047-1058):
+    # randomly blank a contiguous chunk of the task obs to robustify against
+    # missing/occluded tracking input
+    occlusion_prob: float = 0.0
+    occlusion_frac: float = 0.25
     num_amp_obs_steps: int = 10     # discriminator window (humanoid_amp.py:91)
     key_bodies: Sequence[str] = DEFAULT_KEY_BODIES
     reset_bodies: Sequence[str] = DEFAULT_RESET_BODIES
@@ -548,6 +553,16 @@ class HumanoidImEnv:
         if cfg.obs_noise_std > 0:
             k_noise, _ = jax.random.split(jax.random.fold_in(state.key, 17))
             obs = obs + cfg.obs_noise_std * jax.random.normal(k_noise, obs.shape)
+        if cfg.occlusion_prob > 0:
+            k_occ, k_pos = jax.random.split(jax.random.fold_in(state.key, 19))
+            width = max(int(self.task_obs_dim * cfg.occlusion_frac), 1)
+            start = self.self_obs_dim + jax.random.randint(
+                k_pos, (), 0, max(self.task_obs_dim - width, 1)
+            )
+            idx = jnp.arange(self.obs_dim)
+            keep = (idx < start) | (idx >= start + width)
+            occlude = jax.random.uniform(k_occ) < cfg.occlusion_prob
+            obs = jnp.where(occlude & ~keep, 0.0, obs)
         stepped = stepped.replace(obs=obs, amp_hist=amp_hist)
 
         # in-graph auto-reset: branch-free select between stepped and fresh

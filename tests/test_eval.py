@@ -149,3 +149,28 @@ class TestCycleMotion:
             np.asarray(raw["root_pos"][0]) + np.asarray(off[0]),
             atol=1e-5,
         )
+
+
+class TestOcclusion:
+    def test_occlusion_zeroes_task_obs_chunk(self):
+        spec = load_smpl_humanoid()
+        model = build_model(spec, PhysicsConfig())
+        clips = make_synthetic_clips(spec.skeleton, num_clips=1, seconds=1.0)
+        motion = build_motion_data(spec.skeleton, clips)
+        env = HumanoidImEnv(
+            model, motion,
+            EnvConfig(occlusion_prob=1.0, occlusion_frac=0.25, num_amp_obs_steps=2),
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        state = jax.jit(env.reset)(keys)
+        out = jax.jit(env.step)(state, jnp.zeros((2, env.action_dim)))
+        task = np.asarray(out.obs[:, env.self_obs_dim:])
+        width = int(env.task_obs_dim * 0.25)
+        # a contiguous zero run of at least `width` exists in each env
+        for row in task:
+            zeros = np.abs(row) < 1e-9
+            best = run = 0
+            for z in zeros:
+                run = run + 1 if z else 0
+                best = max(best, run)
+            assert best >= width, best
