@@ -45,6 +45,13 @@ class EnvConfig:
     """≙ env_im*.yaml knobs that shape the jitted program."""
 
     episode_length: int = 300
+    # actuation mode (≙ env.control_mode, humanoid.py:89-94,1222-1297):
+    # 'isaac_pd' implicit stable-PD drives (default), 'pd' explicit PD
+    # torques recomputed per substep, 'force' raw torques scaled by motor
+    # effort (MJCF gear=500) × power_scale
+    control_mode: str = "isaac_pd"
+    power_scale: float = 1.0
+    motor_effort: float = 500.0
     termination_distance: float = 0.25
     enable_early_termination: bool = True
     use_mean_termination: bool = True
@@ -79,6 +86,10 @@ class EnvConfig:
     # bodies the task obs/reward track; None -> all (subset = VR-style
     # sparse tracking, ≙ track_bodies / humanoid_im.py:62-69)
     track_bodies: Sequence[str] | None = None
+    # use the Pallas mega-kernel physics step when eligible (TPU backend,
+    # isaac_pd, no terrain/self-collision/shape-variation, batch divisible
+    # by its env block) — physics/substep_pallas.py
+    use_pallas_physics: bool = True
     # reward specs (humanoid_im.py:55)
     k_pos: float = 100.0
     k_rot: float = 10.0
@@ -123,6 +134,22 @@ class HumanoidImEnv:
         self.batched_model = None   # set by enable_shape_variation
         self.motion = motion
         self.config = config or EnvConfig()
+        if self.config.control_mode not in ("isaac_pd", "pd", "force"):
+            raise ValueError(
+                f"unknown control_mode {self.config.control_mode!r}; "
+                "expected isaac_pd | pd | force"
+            )
+        # Pallas mega-kernel eligibility (see step()). Subclasses that
+        # override step_one (perturbations, coupled props) keep the vmap
+        # path — the kernel only replaces the base physics.
+        from pulse_tpu.physics.substep_pallas import supported as _pallas_ok
+
+        self._pallas_eligible = (
+            self.config.use_pallas_physics
+            and self.config.control_mode == "isaac_pd"
+            and _pallas_ok(model)
+            and type(self).step_one is HumanoidImEnv.step_one
+        )
         names = None
         # body name resolution comes from the skeleton the model was built
         # from; Model does not carry names, so the env resolves via spec names
@@ -471,8 +498,22 @@ class HumanoidImEnv:
 
     def step_one(self, state: EnvState, action: jax.Array, model: Model | None = None) -> EnvState:
         model = self.model if model is None else model
-        pd_target = self.action_to_pd_target(action, model)
-        physics = physics_step(model, state.physics, pd_target)
+        mode = self.config.control_mode
+        if mode == "force":
+            from pulse_tpu.physics.step import physics_step_torque
+
+            tau = action * (self.config.motor_effort * self.config.power_scale)
+            physics = physics_step_torque(model, state.physics, tau)
+            # power penalty / bookkeeping still sees the PD-target convention
+            pd_target = self.action_to_pd_target(action, model)
+        elif mode == "pd":
+            from pulse_tpu.physics.step import physics_step_pd_explicit
+
+            pd_target = self.action_to_pd_target(action, model)
+            physics = physics_step_pd_explicit(model, state.physics, pd_target)
+        else:  # isaac_pd (default, the reference's training configuration)
+            pd_target = self.action_to_pd_target(action, model)
+            physics = physics_step(model, state.physics, pd_target)
         return self._finish_step(state, physics, pd_target, model)
 
     def _finish_step(
@@ -593,6 +634,24 @@ class HumanoidImEnv:
         return jax.vmap(self.reset_to_one)(keys, motion_ids, times)
 
     def step(self, states: EnvState, actions: jax.Array) -> EnvState:
+        B = actions.shape[0]
+        if (
+            self._pallas_eligible
+            and self.batched_model is None
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1  # GSPMD can't shard pallas_call;
+            # multi-chip keeps the vmap path until step is shard_map-wrapped
+            and B % 1024 == 0
+        ):
+            # one kernel for all substeps of the whole batch (launch/copy
+            # bound otherwise — see physics/substep_pallas.py)
+            from pulse_tpu.physics.substep_pallas import pallas_physics_step
+
+            pd_target = self.action_to_pd_target(actions)
+            physics = pallas_physics_step(self.model, states.physics, pd_target)
+            return jax.vmap(
+                lambda s, p, t: self._finish_step(s, p, t, self.model)
+            )(states, physics, pd_target)
         if self.batched_model is None:
             return jax.vmap(self.step_one)(states, actions)
         return jax.vmap(self.step_one)(states, actions, self.batched_model)

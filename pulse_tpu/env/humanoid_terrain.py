@@ -36,15 +36,28 @@ class HumanoidPedestrianTerrainEnv(HumanoidTrajEnv):
         terrain_seed: int = 0,
         height_map_shape: tuple[int, int] = (16, 16),
         height_map_spacing: float = 0.25,
+        mesh_terrain=None,
     ):
         tcfg = terrain_config or TerrainConfig()
-        heights = generate_heightfield(tcfg, seed=terrain_seed)
-        extent_x = heights.shape[0] * tcfg.cell_size
-        extent_y = heights.shape[1] * tcfg.cell_size
-        origin = np.asarray([-extent_x / 2, -extent_y / 2], np.float32)
-        model = model.with_terrain(heights, tcfg.cell_size, origin)
+        if mesh_terrain is not None:
+            # scanned-scene mode (≙ MeshTerrain path, pedestrian_terrain.py:975):
+            # use the rasterized heightfield; spawns come from the walkable map
+            heights = np.asarray(mesh_terrain.heights)
+            cell = mesh_terrain.cell_size
+            origin = np.asarray(mesh_terrain.origin, np.float32)
+        else:
+            heights = generate_heightfield(tcfg, seed=terrain_seed)
+            cell = tcfg.cell_size
+            origin = np.asarray(
+                [-heights.shape[0] * cell / 2, -heights.shape[1] * cell / 2],
+                np.float32,
+            )
+        extent_x = heights.shape[0] * cell
+        extent_y = heights.shape[1] * cell
+        model = model.with_terrain(heights, cell, origin)
         super().__init__(model, motion, config)
         self.terrain_cfg = tcfg
+        self.mesh_terrain = mesh_terrain
         self._extent = (extent_x, extent_y)
         self._hm_points = jnp.asarray(
             height_map_points(*height_map_shape, spacing=height_map_spacing)
@@ -67,15 +80,19 @@ class HumanoidPedestrianTerrainEnv(HumanoidTrajEnv):
         state = super().reset_one(key)
         # scatter spawn over the field and lift onto the local ground
         k1, k2 = jax.random.split(jax.random.fold_in(state.key, 3))
-        ex, ey = self._extent
-        offset_xy = jnp.stack(
-            [
-                jax.random.uniform(k1, (), minval=-0.4 * ex, maxval=0.4 * ex),
-                jax.random.uniform(k2, (), minval=-0.4 * ey, maxval=0.4 * ey),
-            ]
-        )
         ph = state.physics
-        new_xy = ph.root_pos[0:2] + offset_xy
+        if self.mesh_terrain is not None:
+            # spawn only on walkable scanned-scene cells
+            new_xy = self.mesh_terrain.sample_valid_locations(k1, 1)[0]
+        else:
+            ex, ey = self._extent
+            offset_xy = jnp.stack(
+                [
+                    jax.random.uniform(k1, (), minval=-0.4 * ex, maxval=0.4 * ex),
+                    jax.random.uniform(k2, (), minval=-0.4 * ey, maxval=0.4 * ey),
+                ]
+            )
+            new_xy = ph.root_pos[0:2] + offset_xy
         dz = self._ground_z(new_xy)
         root_pos = jnp.concatenate([new_xy, ph.root_pos[2:3] + dz])
         shift = root_pos - ph.root_pos

@@ -127,6 +127,124 @@ def terrain_normal(
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
+@dataclasses.dataclass(frozen=True)
+class MeshTerrain:
+    """Scanned-environment terrain (≙ MeshTerrain,
+    humanoid_pedestrian_terrain.py:975-1110).
+
+    The reference keeps a precomputed heightmap + walkable-cell map derived
+    from a scanned scene mesh and (a) spawns characters at random walkable
+    cells, (b) samples heights by integer gather with a min over the
+    diagonal neighbor. TPU redesign: same data model — one [H, W] device
+    heightfield and a flat [N, 2] walkable-coordinate table — so spawning is
+    a categorical gather and height queries reuse the bilinear
+    terrain_height kernel inside the jitted step.
+    """
+
+    heights: jax.Array            # [H, W] meters
+    walkable_xy: jax.Array        # [N, 2] world xy of walkable cells
+    cell_size: float
+    origin: jax.Array             # [2] world xy of cell (0, 0)
+
+    @classmethod
+    def from_heightmap(
+        cls,
+        heightmap: np.ndarray,
+        walkable_map: np.ndarray | None = None,
+        cell_size: float = 1.0,
+        origin: tuple[float, float] | None = None,
+        cam_pos: tuple[float, float] = (0.0, 0.0),
+        max_walkable_slope: float = 0.3,
+    ) -> "MeshTerrain":
+        """Build from scanned heightmap data (≙ the reference's
+        heigthmap/walkable_map/cam_pos/x_scale pkl payload). `origin`
+        defaults to centering the map on cam_pos, matching the reference's
+        x_c/y_c recentering (humanoid_pedestrian_terrain.py:991-1000)."""
+        hm = np.asarray(heightmap, np.float32)
+        H, W = hm.shape
+        if origin is None:
+            origin = (
+                cam_pos[0] - (H / 2) * cell_size,
+                cam_pos[1] - (W / 2) * cell_size,
+            )
+        if walkable_map is None:
+            gx, gy = np.gradient(hm, cell_size)
+            walkable_map = (np.hypot(gx, gy) < max_walkable_slope).astype(np.uint8)
+        cx, cy = np.where(np.asarray(walkable_map) == 1)
+        xy = np.stack(
+            [origin[0] + cx * cell_size, origin[1] + cy * cell_size], axis=-1
+        ).astype(np.float32)
+        if xy.shape[0] == 0:
+            raise ValueError("terrain has no walkable cells")
+        return cls(
+            heights=jnp.asarray(hm),
+            walkable_xy=jnp.asarray(xy),
+            cell_size=float(cell_size),
+            origin=jnp.asarray(origin, jnp.float32),
+        )
+
+    @classmethod
+    def from_mesh(
+        cls,
+        vertices: np.ndarray,
+        faces: np.ndarray,
+        cell_size: float = 0.25,
+        max_walkable_slope: float = 0.3,
+    ) -> "MeshTerrain":
+        """Rasterize a scanned triangle mesh into a heightfield (top-surface
+        max over faces). One-time host preprocessing; replaces the
+        reference's PhysX trimesh collision with gather-friendly data."""
+        hm, origin = rasterize_mesh_heightfield(vertices, faces, cell_size)
+        return cls.from_heightmap(
+            hm, None, cell_size, origin=tuple(origin),
+            max_walkable_slope=max_walkable_slope,
+        )
+
+    def sample_valid_locations(self, key: jax.Array, n: int) -> jax.Array:
+        """Random walkable spawn points [n, 2]
+        (≙ sample_valid_locations, humanoid_pedestrian_terrain.py:1005-1009)."""
+        idx = jax.random.randint(key, (n,), 0, self.walkable_xy.shape[0])
+        return self.walkable_xy[idx]
+
+    def height_at(self, xy: jax.Array) -> jax.Array:
+        return terrain_height(self.heights, self.cell_size, self.origin, xy)
+
+
+def rasterize_mesh_heightfield(
+    vertices: np.ndarray, faces: np.ndarray, cell_size: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-down rasterization: per-cell max height over all triangles whose
+    footprint covers the cell center. Returns ([H, W] heights, origin xy)."""
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces, np.int64)
+    lo = v[:, :2].min(axis=0)
+    hi = v[:, :2].max(axis=0)
+    H = max(int(np.ceil((hi[0] - lo[0]) / cell_size)) + 1, 2)
+    W = max(int(np.ceil((hi[1] - lo[1]) / cell_size)) + 1, 2)
+    field = np.full((H, W), v[:, 2].min(), np.float32)
+    tri = v[f]  # [F, 3, 3]
+    for a, b, c in tri:
+        bb_lo = np.floor((np.minimum(np.minimum(a, b), c)[:2] - lo) / cell_size).astype(int)
+        bb_hi = np.ceil((np.maximum(np.maximum(a, b), c)[:2] - lo) / cell_size).astype(int)
+        bb_lo = np.clip(bb_lo, 0, [H - 1, W - 1])
+        bb_hi = np.clip(bb_hi, 0, [H - 1, W - 1])
+        xs = lo[0] + np.arange(bb_lo[0], bb_hi[0] + 1) * cell_size
+        ys = lo[1] + np.arange(bb_lo[1], bb_hi[1] + 1) * cell_size
+        gx, gy = np.meshgrid(xs, ys, indexing="ij")
+        # barycentric coordinates of cell centers in the triangle's xy shadow
+        d = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
+        if abs(d) < 1e-12:
+            continue
+        w0 = ((b[1] - c[1]) * (gx - c[0]) + (c[0] - b[0]) * (gy - c[1])) / d
+        w1 = ((c[1] - a[1]) * (gx - c[0]) + (a[0] - c[0]) * (gy - c[1])) / d
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= -1e-9) & (w1 >= -1e-9) & (w2 >= -1e-9)
+        z = w0 * a[2] + w1 * b[2] + w2 * c[2]
+        patch = field[bb_lo[0] : bb_hi[0] + 1, bb_lo[1] : bb_hi[1] + 1]
+        np.maximum(patch, np.where(inside, z, -np.inf), out=patch)
+    return field, lo.astype(np.float32)
+
+
 def height_map_points(num_x: int = 16, num_y: int = 16, spacing: float = 0.25) -> np.ndarray:
     """Local sample grid around the character (≙ init_square_height_points,
     humanoid_pedestrian_terrain.py:591-625). [P, 2], centered."""

@@ -132,10 +132,15 @@ class AMPModule:
         dt = self.env.model.config.control_dt
         ids = sample_motions(k1, motion, n)
         t0 = sample_time(k2, motion, ids, truncate_time=dt * (S - 1)) + dt * (S - 1)
-        # window times [n, S]: t0, t0-dt, ...
-        times = t0[:, None] - jnp.arange(S, dtype=jnp.float32)[None, :] * dt
-        flat_ids = jnp.repeat(ids, S)
-        st = get_motion_state(motion, flat_ids, times.reshape(-1))
+        return self._build_demo_steps(ids, t0, S)
+
+    def _build_demo_steps(self, ids: jax.Array, t0: jax.Array, steps: int) -> jax.Array:
+        """AMP obs for `steps` consecutive frames ending at t0, newest first
+        (≙ build_amp_obs_demo_steps, humanoid_amp.py:232-284). [n, steps*dim]."""
+        dt = self.env.model.config.control_dt
+        times = t0[:, None] - jnp.arange(steps, dtype=jnp.float32)[None, :] * dt
+        flat_ids = jnp.repeat(ids, steps)
+        st = get_motion_state(self.env.motion, flat_ids, times.reshape(-1))
         obs = kernels.build_amp_observations_smpl(
             st["root_pos"],
             st["root_rot"],
@@ -147,7 +152,45 @@ class AMPModule:
             local_root_obs=self.env.config.local_root_obs,
             root_height_obs=self.env.config.root_height_obs,
         )
-        return obs.reshape(n, -1)
+        return obs.reshape(ids.shape[0], -1)
+
+    def fetch_demo_enc_pair(self, key: jax.Array, n: int, enc_steps: int = 30):
+        """CALM-style encoder/discriminator demo pair (≙
+        fetch_amp_obs_demo_enc_pair, humanoid_amp.py:836-857): one long
+        `enc_steps` window per motion plus a short num_amp_obs_steps window
+        sampled inside it. Returns (ids, enc_times, enc_obs, times, obs)."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        motion = self.env.motion
+        S = getattr(self.env.config, "num_amp_obs_steps", 1)
+        dt = self.env.model.config.control_dt
+        enc_window = dt * (enc_steps - 1)
+        ids = sample_motions(k1, motion, n)
+        lengths = motion.motion_lengths[ids]
+        enc_t = sample_time(k2, motion, ids, truncate_time=enc_window)
+        enc_t = enc_t + jnp.minimum(lengths, enc_window)
+        sub_window = jnp.minimum(lengths, enc_window) - dt * S
+        t = enc_t - jax.random.uniform(k3, (n,)) * jnp.maximum(sub_window, 0.0)
+        enc_obs = self._build_demo_steps(ids, enc_t, enc_steps)
+        obs = self._build_demo_steps(ids, t, S)
+        return ids, enc_t, enc_obs, t, obs
+
+    def fetch_demo_pair(self, key: jax.Array, n: int, enc_steps: int = 30):
+        """Two nearby long windows from the same motion (≙
+        fetch_amp_obs_demo_pair, humanoid_amp.py:859-881) — the positive
+        pair for a CALM-style motion encoder. Returns
+        (ids, t0, obs0, t1, obs1)."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        motion = self.env.motion
+        dt = self.env.model.config.control_dt
+        enc_window = dt * (enc_steps - 1)
+        ids = sample_motions(k1, motion, n)
+        lengths = motion.motion_lengths[ids]
+        t0 = sample_time(k2, motion, ids, truncate_time=enc_window)
+        t0 = t0 + jnp.minimum(lengths, enc_window)
+        t1 = jnp.minimum(t0 + jax.random.uniform(k3, (n,)) * 0.5, lengths)
+        obs0 = self._build_demo_steps(ids, t0, enc_steps)
+        obs1 = self._build_demo_steps(ids, t1, enc_steps)
+        return ids, t0, obs0, t1, obs1
 
     # ------------------------------------------------------------------ #
 

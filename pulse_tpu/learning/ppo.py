@@ -51,6 +51,9 @@ class PPOConfig:
     normalize_value: bool = True
     normalize_advantage: bool = True
     truncate_grads: bool = True
+    # BPTT sequence length for recurrent networks (≙ seq_len / seq_length in
+    # the rl-games RNN path, amp_agent.py:40-44); horizon must divide by it
+    seq_len: int = 4
 
 
 @struct.dataclass
@@ -62,6 +65,7 @@ class TrainState:
     env_state: Any
     key: jax.Array
     epoch: jax.Array
+    hidden: Any = None      # recurrent carry [B, ...] (RNN networks only)
 
 
 @struct.dataclass
@@ -75,6 +79,11 @@ class Rollout:
     terminates: jax.Array   # [T, B]
     amp_obs: jax.Array      # [T, B, AO]
     mus: jax.Array          # [T, B, A]
+    # recurrent extras (≙ rl-games mb_rnn_states, amp_agent.py:192-339):
+    # carry at each step's entry (pre done-mask) + the entry done flag so
+    # BPTT replay reproduces the rollout's hidden-state resets exactly
+    hiddens: Any = None     # pytree of [T, B, H]
+    prev_dones: jax.Array | None = None  # [T, B]
 
 
 def gaussian_neglogp(mu, log_sigma, action):
@@ -98,6 +107,9 @@ class PPOAgent:
         self.env = env
         self.config = config or PPOConfig()
         self.network = network or ActorCritic(action_dim=env.action_dim)
+        self.recurrent = bool(getattr(self.network, "is_recurrent", False))
+        if self.recurrent and self.config.horizon_length % self.config.seq_len:
+            raise ValueError("horizon_length must be divisible by seq_len")
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(self.config.grad_norm)
             if self.config.truncate_grads
@@ -114,9 +126,17 @@ class PPOAgent:
         k_env, k_net, k_next = jax.random.split(key, 3)
         env_state = self.env.reset(jax.random.split(k_env, cfg.num_envs))
         obs0 = jnp.zeros((1, self.env.obs_dim))
-        variables = self.network.init(k_net, obs0)
+        hidden = None
+        if self.recurrent:
+            variables = self.network.init(
+                k_net, self.network.initial_carry((1,)), obs0
+            )
+            hidden = self.network.initial_carry((cfg.num_envs,))
+        else:
+            variables = self.network.init(k_net, obs0)
         params = variables["params"]
         return TrainState(
+            hidden=hidden,
             params=params,
             opt_state=self.optimizer.init(params),
             obs_rms=RunningMeanStd.create(self.env.obs_dim),
@@ -185,6 +205,212 @@ class PPOAgent:
         )
         ts = ts.replace(env_state=env_state, key=key)
         return ts, traj, last_value
+
+    # ------------------------------------------------------------------ #
+    # recurrent (RNN/BPTT) path — ≙ play_steps_rnn, amp_agent.py:192-339
+    # ------------------------------------------------------------------ #
+
+    def _rnn_forward(self, params, hidden, obs_norm, done):
+        return self.network.apply({"params": params}, hidden, obs_norm, done)
+
+    def rollout_rnn(self, ts: TrainState) -> tuple[TrainState, Rollout, jax.Array]:
+        cfg = self.config
+
+        def scan_step(carry, _):
+            env_state, key, hidden = carry
+            key, k_act = jax.random.split(key)
+            obs = env_state.obs
+            obs_norm = ts.obs_rms.normalize(obs) if cfg.normalize_input else obs
+            # env_state.done marks a fresh post-auto-reset obs: the cell's
+            # memory of the previous episode is cleared inside the network
+            new_hidden, (mu, log_sigma, value_norm) = self._rnn_forward(
+                ts.params, hidden, obs_norm, env_state.done
+            )
+            value = (
+                ts.value_rms.denormalize(value_norm[..., None])[..., 0]
+                if cfg.normalize_value
+                else value_norm
+            )
+            eps = jax.random.normal(k_act, mu.shape)
+            action = mu + jnp.exp(log_sigma) * eps
+            neglogp = gaussian_neglogp(mu, log_sigma, action)
+            next_env_state = self.env.step(env_state, jnp.clip(action, -1.0, 1.0))
+            out = Rollout(
+                obs=obs,
+                actions=action,
+                neglogp=neglogp,
+                values=value,
+                rewards=next_env_state.reward,
+                dones=next_env_state.done,
+                terminates=next_env_state.terminate,
+                amp_obs=next_env_state.amp_obs,
+                mus=mu,
+                hiddens=hidden,
+                prev_dones=env_state.done,
+            )
+            return (next_env_state, key, new_hidden), out
+
+        key, k_roll = jax.random.split(ts.key)
+        (env_state, _, hidden), traj = jax.lax.scan(
+            scan_step, (ts.env_state, k_roll, ts.hidden), None,
+            length=cfg.horizon_length,
+        )
+        obs_norm = (
+            ts.obs_rms.normalize(env_state.obs)
+            if cfg.normalize_input
+            else env_state.obs
+        )
+        _, (_, _, last_value_norm) = self._rnn_forward(
+            ts.params, hidden, obs_norm, env_state.done
+        )
+        last_value = (
+            ts.value_rms.denormalize(last_value_norm[..., None])[..., 0]
+            if cfg.normalize_value
+            else last_value_norm
+        )
+        ts = ts.replace(env_state=env_state, key=key, hidden=hidden)
+        return ts, traj, last_value
+
+    def _loss_rnn(self, params, batch, obs_rms, value_rms):
+        """PPO losses over [mb, L] sequences replayed through the cell with
+        the rollout-time initial carry (truncated BPTT)."""
+        cfg = self.config
+        obs = batch["obs"]
+        obs_norm = obs_rms.normalize(obs) if cfg.normalize_input else obs
+
+        def cell_step(carry, xs):
+            obs_t, done_t, act_t = xs
+            carry, (mu, log_sigma, value) = self._rnn_forward(
+                params, carry, obs_t, done_t
+            )
+            neglogp = gaussian_neglogp(mu, log_sigma, act_t)
+            return carry, (mu, neglogp, value, jnp.sum(log_sigma))
+
+        xs = (
+            jnp.swapaxes(obs_norm, 0, 1),           # [L, mb, O]
+            jnp.swapaxes(batch["prev_dones"], 0, 1),
+            jnp.swapaxes(batch["actions"], 0, 1),
+        )
+        _, (mu, neglogp, value_norm, sum_ls) = jax.lax.scan(
+            cell_step, batch["hidden"], xs
+        )
+        neglogp = jnp.swapaxes(neglogp, 0, 1).reshape(-1)
+        value_norm = jnp.swapaxes(value_norm, 0, 1).reshape(-1)
+        mu_flat = jnp.swapaxes(mu, 0, 1).reshape(-1, mu.shape[-1])
+
+        ratio = jnp.exp(batch["neglogp"].reshape(-1) - neglogp)
+        adv = batch["advantages"].reshape(-1)
+        surr1 = adv * ratio
+        surr2 = adv * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        a_loss = -jnp.minimum(surr1, surr2).mean()
+
+        target = (
+            batch["returns_norm"] if cfg.normalize_value else batch["returns"]
+        ).reshape(-1)
+        c_loss = 0.5 * jnp.mean((value_norm - target) ** 2)
+
+        soft = 1.1
+        b_loss = jnp.mean(
+            jnp.sum(
+                jnp.clip(mu_flat - soft, 0.0, None) ** 2
+                + jnp.clip(mu_flat + soft, None, 0.0) ** 2,
+                axis=-1,
+            )
+        )
+        entropy = sum_ls[0] + 0.5 * mu.shape[-1] * jnp.log(2 * jnp.pi * jnp.e)
+        total = (
+            a_loss
+            + cfg.critic_coef * c_loss
+            + cfg.bounds_loss_coef * b_loss
+            - cfg.entropy_coef * entropy
+        )
+        return total, {
+            "a_loss": a_loss, "c_loss": c_loss, "b_loss": b_loss, "entropy": entropy,
+        }
+
+    def update_rnn(self, ts: TrainState, traj: Rollout, advantages, returns):
+        """Minibatches are whole length-seq_len sequences (≙ the rl-games
+        sequential AMPDataset format, amp_datasets.py:44-96)."""
+        cfg = self.config
+        T, B = traj.rewards.shape
+        L = cfg.seq_len
+        n_seq = (T // L) * B
+
+        def to_seq(x):
+            # [T, B, ...] -> [n_seq, L, ...]: contiguous time chunks per env
+            x = x.reshape(T // L, L, B, *x.shape[2:])
+            x = jnp.moveaxis(x, 2, 1)
+            return x.reshape(n_seq, L, *x.shape[3:])
+
+        obs_rms = (
+            ts.obs_rms.update(traj.obs.reshape(T * B, -1))
+            if cfg.normalize_input
+            else ts.obs_rms
+        )
+        value_rms = (
+            ts.value_rms.update(returns.reshape(T * B, 1))
+            if cfg.normalize_value
+            else ts.value_rms
+        )
+        if cfg.normalize_advantage:
+            advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        seqs = {
+            "obs": to_seq(traj.obs),
+            "actions": to_seq(traj.actions),
+            "neglogp": to_seq(traj.neglogp),
+            "advantages": to_seq(advantages),
+            "returns": to_seq(returns),
+            "prev_dones": to_seq(traj.prev_dones),
+            # carry at each sequence's first step, replayed as-is (stale
+            # hiddens across mini-epochs — the standard truncated-BPTT trade)
+            "hidden": jax.tree.map(
+                lambda h: h.reshape(T // L, L, B, -1)[:, 0].reshape(n_seq, -1),
+                traj.hiddens,
+            ),
+        }
+        seqs["returns_norm"] = value_rms.normalize(
+            seqs["returns"].reshape(-1, 1)
+        ).reshape(n_seq, L)
+
+        mb = max(min(cfg.minibatch_size // L, n_seq), 1)
+        num_mb = n_seq // mb
+
+        def mini_epoch(carry, key):
+            params, opt_state = carry
+            perm = jax.random.permutation(key, n_seq)
+            shuffled = jax.tree.map(lambda x: x[perm], seqs)
+
+            def mb_step(carry, i):
+                params, opt_state = carry
+                batch = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb), shuffled
+                )
+                (loss, metrics), grads = jax.value_and_grad(
+                    self._loss_rnn, has_aux=True
+                )(params, batch, obs_rms, value_rms)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                mb_step, (params, opt_state), jnp.arange(num_mb)
+            )
+            return (params, opt_state), metrics
+
+        key, k_upd = jax.random.split(ts.key)
+        keys = jax.random.split(k_upd, cfg.mini_epochs)
+        (params, opt_state), metrics = jax.lax.scan(
+            mini_epoch, (ts.params, ts.opt_state), keys
+        )
+        ts = ts.replace(
+            params=params,
+            opt_state=opt_state,
+            obs_rms=obs_rms,
+            value_rms=value_rms,
+            key=key,
+            epoch=ts.epoch + 1,
+        )
+        return ts, jax.tree.map(jnp.mean, metrics)
 
     # ------------------------------------------------------------------ #
 
@@ -327,11 +553,13 @@ class PPOAgent:
 
     def train_epoch(self, ts: TrainState):
         """One full PPO epoch: rollout horizon steps on all envs + update."""
-        ts, traj, last_value = self.rollout(ts)
+        roll = self.rollout_rnn if self.recurrent else self.rollout
+        ts, traj, last_value = roll(ts)
         if self.reward_fn is not None:
             traj = traj.replace(rewards=self.reward_fn(ts, traj))
         advantages, returns = self.compute_gae(traj, last_value)
-        ts, metrics = self.update(ts, traj, advantages, returns)
+        upd = self.update_rnn if self.recurrent else self.update
+        ts, metrics = upd(ts, traj, advantages, returns)
         metrics = dict(metrics)
         metrics["reward_mean"] = traj.rewards.mean()
         metrics["episode_done_frac"] = traj.dones.mean()

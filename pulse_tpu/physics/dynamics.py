@@ -61,6 +61,47 @@ def spd_joint_torques(
     return tau, d_extra
 
 
+def explicit_joint_torques(
+    model: Model,
+    state: PhysicsState,
+    tau_dof: jax.Array,
+    h: float,
+    passive_kd: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Direct actuation torques + joint-limit springs (no PD drive).
+
+    Backs the reference's non-isaac_pd control modes (humanoid.py:1249-1257
+    `force`, :1260-1297 explicit `pd`): the controller supplies raw per-dof
+    torques; the sim still enforces joint limits (PhysX limit constraints are
+    always on regardless of drive mode). `passive_kd` [J-1] is passive joint
+    damping (MJCF `damping` is a joint property, not a drive gain — a
+    torque-driven ragdoll still has it), folded implicitly like SPD's kd so
+    it is unconditionally stable. Returns (tau [J-1,3], d_extra) in the same
+    convention as spd_joint_torques so both feed aba/aba_fast.
+    """
+    Jm1 = model.num_joints
+    cfg = model.config
+    tau = tau_dof.reshape(Jm1, 3)
+    d_passive = jnp.zeros((Jm1, 1))
+    if passive_kd is not None:
+        tau = tau - passive_kd[:, None] * state.joint_omega
+        d_passive = h * passive_kd[:, None]
+
+    dof = q.quat_to_exp_map(state.joint_rot).reshape(-1)
+    excess = jnp.maximum(dof - model.dof_upper, 0.0) + jnp.minimum(
+        dof - model.dof_lower, 0.0
+    )
+    active = (excess != 0.0).reshape(Jm1, 3)
+    limit_tau = (-cfg.limit_stiffness * excess).reshape(Jm1, 3)
+    limit_tau = limit_tau - jnp.where(active, cfg.limit_damping * state.joint_omega, 0.0)
+
+    tau = jnp.clip(tau + limit_tau, -cfg.torque_limit, cfg.torque_limit)
+    d_extra = d_passive + jnp.where(
+        active, h * (cfg.limit_damping + h * cfg.limit_stiffness), jnp.zeros_like(tau)
+    )
+    return tau, d_extra
+
+
 def aba(
     model: Model,
     state: PhysicsState,

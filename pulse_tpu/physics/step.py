@@ -16,7 +16,7 @@ from pulse_tpu.ops import quat as q
 from pulse_tpu.physics import spatial as sp
 from pulse_tpu.physics.aba_fast import aba_fast
 from pulse_tpu.physics.contact import plane_contact_forces
-from pulse_tpu.physics.dynamics import spd_joint_torques
+from pulse_tpu.physics.dynamics import explicit_joint_torques, spd_joint_torques
 from pulse_tpu.physics.model import Model
 from pulse_tpu.physics.state import PhysicsState, refresh_kinematics
 
@@ -27,6 +27,8 @@ def _substep(
     pd_target_dof: jax.Array,
     h: float,
     f_ext_extra: jax.Array | None = None,
+    tau_dof: jax.Array | None = None,
+    passive_kd: jax.Array | None = None,
 ):
     # world kinematics for contacts + force frames
     cfg = model.config
@@ -37,7 +39,12 @@ def _substep(
     if f_ext_extra is not None:
         f_ext = f_ext + f_ext_extra
         net_contact = net_contact + f_ext_extra[:, 3:6]
-    tau, d_extra = spd_joint_torques(model, state, pd_target_dof, h)
+    if tau_dof is not None:
+        tau, d_extra = explicit_joint_torques(
+            model, state, tau_dof, h, passive_kd=passive_kd
+        )
+    else:
+        tau, d_extra = spd_joint_torques(model, state, pd_target_dof, h)
     a0, qdd = aba_fast(model, state, tau, f_ext, state.body_rot, h, d_extra)
 
     # semi-implicit Euler: velocities first, then positions
@@ -90,6 +97,55 @@ def physics_step(
         acc = acc + state.contact_force
     state = refresh_kinematics(model, state)
     return state.replace(contact_force=acc / n)
+
+
+def physics_step_torque(
+    model: Model, state: PhysicsState, tau_dof: jax.Array
+) -> PhysicsState:
+    """Advance one control period under direct torque actuation.
+
+    ≙ control_mode 'force' (humanoid.py:1249-1254): the policy's action,
+    already scaled by motor efforts × power_scale at the env layer, is held
+    constant across the period's substeps, exactly like Isaac Gym's
+    set_dof_actuation_force_tensor applied once before the simulate loop."""
+    cfg = model.config
+    h = cfg.h
+    acc = jnp.zeros_like(state.contact_force)
+    for _ in range(cfg.steps_per_control):
+        state = _substep(
+            model, state, None, h, tau_dof=tau_dof, passive_kd=model.joint_kd
+        )
+        acc = acc + state.contact_force
+    state = refresh_kinematics(model, state)
+    return state.replace(contact_force=acc / cfg.steps_per_control)
+
+
+def physics_step_pd_explicit(
+    model: Model, state: PhysicsState, pd_target_dof: jax.Array
+) -> PhysicsState:
+    """Advance one control period under *explicit* (non-stable) PD control.
+
+    ≙ control_mode 'pd' (humanoid.py:1260-1297): every inner sim step
+    recomputes tau = kp·(target − dof) − kd·dof_vel from the held target and
+    applies it as an actuation force. The reference quarters the MJCF gains
+    for this mode (humanoid.py:1000-1001) and clamps |tau| ≤ 1000
+    (humanoid.py:899) — explicit PD at the full stable-PD gains would be
+    unstable at the 120 Hz substep rate."""
+    cfg = model.config
+    h = cfg.h
+    Jm1 = model.num_joints
+    target = pd_target_dof.reshape(Jm1, 3)
+    kp = model.joint_kp[:, None] / 4.0
+    kd = model.joint_kd[:, None] / 4.0
+    acc = jnp.zeros_like(state.contact_force)
+    for _ in range(cfg.steps_per_control):
+        dof = q.quat_to_exp_map(state.joint_rot)
+        tau = kp * (target - dof) - kd * state.joint_omega
+        tau = jnp.clip(tau, -1000.0, 1000.0)
+        state = _substep(model, state, None, h, tau_dof=tau)
+        acc = acc + state.contact_force
+    state = refresh_kinematics(model, state)
+    return state.replace(contact_force=acc / cfg.steps_per_control)
 
 
 def physics_step_with_prop(model: Model, prop_spec, state: PhysicsState, prop, pd_target_dof):

@@ -84,6 +84,8 @@ def build_env_from_cfg(cfg, model, motion):
             power_reward=bool(e["power_reward"]),
             power_coefficient=float(e["power_coefficient"]),
             cycle_motion=bool(e["cycle_motion"]),
+            control_mode=str(e.get("control_mode", "isaac_pd")),
+            power_scale=float(e.get("power_scale", 1.0)),
             obs_v=int(e.get("obs_v", 6)),
             track_bodies=(
                 tuple(e["track_bodies"]) if e.get("track_bodies") else None

@@ -261,3 +261,176 @@ class TestAMP:
             )
         assert float(metrics["disc_acc_agent"]) > 0.9
         assert float(metrics["disc_acc_demo"]) > 0.9
+
+
+class TestDemoFetchers:
+    """CALM-style enc-pair demo fetches (≙ humanoid_amp.py:833-881)."""
+
+    @pytest.fixture(scope="class")
+    def amp_env(self):
+        from pulse_tpu.assets import load_smpl_humanoid
+        from pulse_tpu.env import HumanoidImEnv, EnvConfig
+        from pulse_tpu.motion import build_motion_data, make_synthetic_clips
+        from pulse_tpu.physics import PhysicsConfig, build_model
+
+        spec = load_smpl_humanoid()
+        model = build_model(spec, PhysicsConfig())
+        clips = make_synthetic_clips(spec.skeleton, num_clips=2, seconds=2.0)
+        motion = build_motion_data(spec.skeleton, clips)
+        env = HumanoidImEnv(model, motion, EnvConfig(num_amp_obs_steps=4))
+        return env
+
+    def test_fetch_demo_enc_pair(self, amp_env):
+        amp = AMPModule(amp_env)
+        ids, enc_t, enc_obs, t, obs = jax.jit(
+            lambda k: amp.fetch_demo_enc_pair(k, 16, enc_steps=8)
+        )(jax.random.PRNGKey(0))
+        single = amp_env.amp_obs_dim // 4
+        assert enc_obs.shape == (16, 8 * single)
+        assert obs.shape == (16, 4 * single)
+        assert np.all(np.isfinite(np.asarray(enc_obs)))
+        # the short window lies inside the long one
+        assert np.all(np.asarray(t) <= np.asarray(enc_t) + 1e-6)
+
+    def test_fetch_demo_pair(self, amp_env):
+        amp = AMPModule(amp_env)
+        ids, t0, obs0, t1, obs1 = jax.jit(
+            lambda k: amp.fetch_demo_pair(k, 16, enc_steps=8)
+        )(jax.random.PRNGKey(1))
+        assert obs0.shape == obs1.shape
+        lengths = np.asarray(amp_env.motion.motion_lengths)[np.asarray(ids)]
+        assert np.all(np.asarray(t1) <= lengths + 1e-6)
+        assert np.all(np.asarray(t1) >= np.asarray(t0) - 1e-6)
+        assert np.all(np.isfinite(np.asarray(obs0)))
+
+
+class TestRNNPPO:
+    """Recurrent actor-critic + truncated-BPTT PPO (≙ the rl-games RNN
+    option: network_builder.py:94 _build_rnn, amp_agent.py:192-339)."""
+
+    def test_rnn_cell_resets_on_done(self):
+        from pulse_tpu.learning.networks import RNNActorCritic
+
+        net = RNNActorCritic(action_dim=2, trunk_units=(16,), rnn_size=8)
+        obs = jnp.ones((3, 4))
+        carry0 = net.initial_carry((3,))
+        params = net.init(jax.random.PRNGKey(0), carry0, obs)["params"]
+        carry1, _ = net.apply({"params": params}, carry0, obs)
+        # done on env 1 only: its output must equal a fresh-carry output
+        done = jnp.asarray([False, True, False])
+        carry2, (mu_d, _, _) = net.apply({"params": params}, carry1, obs, done)
+        _, (mu_fresh, _, _) = net.apply({"params": params}, carry0, obs)
+        np.testing.assert_allclose(mu_d[1], mu_fresh[1], rtol=1e-5)
+        assert np.abs(np.asarray(mu_d[0] - mu_fresh[0])).max() > 1e-7
+
+    def test_rnn_ppo_improves_toy(self):
+        from pulse_tpu.learning.networks import RNNActorCritic
+
+        env = ToyEnv()
+        cfg = PPOConfig(
+            num_envs=64, horizon_length=16, minibatch_size=256, mini_epochs=2,
+            learning_rate=3e-3, critic_coef=1.0, bounds_loss_coef=0.0,
+            seq_len=4,
+        )
+        net = RNNActorCritic(
+            action_dim=2, trunk_units=(64,), rnn_size=64, init_sigma=-1.0,
+            dtype=jnp.float32,
+        )
+        agent = PPOAgent(env, cfg, net)
+        assert agent.recurrent
+        ts = agent.init(jax.random.PRNGKey(0))
+        train = jax.jit(agent.train_epoch)
+        ts, m0 = train(ts)
+        r_first = float(m0["reward_mean"])
+        for _ in range(80):
+            ts, m = train(ts)
+        r_last = float(m["reward_mean"])
+        assert r_last > r_first * 0.6 and r_last > -0.8, (r_first, r_last)
+
+
+class TestZEmbedding:
+    """Non-gaussian z spaces (≙ form_embedding, amp_network_z_builder.py:79-223)."""
+
+    @pytest.mark.parametrize("z_type", ["sphere", "vq_vae", "vq_vae_hybrid", "vq_vae_res"])
+    def test_shapes_and_semantics(self, z_type):
+        from pulse_tpu.learning.networks import ZEmbedding
+        from pulse_tpu.learning.vq_quantizer import create_codebook
+
+        net = ZEmbedding(latent_dim=8, z_type=z_type, embedding_norm=3.0)
+        feat = jax.random.normal(jax.random.PRNGKey(0), (5, 16))
+        cb = create_codebook(jax.random.PRNGKey(1), 32, 8)
+        params = net.init(jax.random.PRNGKey(2), feat, cb)["params"]
+        z, extras = net.apply({"params": params}, feat, cb)
+        if z_type == "sphere":
+            assert z.shape == (5, 8)
+            np.testing.assert_allclose(
+                np.linalg.norm(np.asarray(z), axis=-1), 3.0, rtol=1e-4
+            )
+        elif z_type == "vq_vae":
+            assert z.shape == (5, 8)
+            assert "commit_loss" in extras and extras["indexes"].shape == (5,)
+        elif z_type == "vq_vae_hybrid":
+            assert z.shape == (5, 16)  # code ⊕ residual
+            # residual channel clipped at 0.1
+            assert np.abs(np.asarray(z[:, 8:])).max() <= 0.1 + 1e-6
+        elif z_type == "vq_vae_res":
+            assert z.shape == (5, 8)
+            # gain in [0, 2] scales a norm-3 code
+            assert np.linalg.norm(np.asarray(z), axis=-1).max() <= 6.0 + 1e-4
+
+    def test_vq_gradients_flow_straight_through(self):
+        from pulse_tpu.learning.networks import ZEmbedding
+        from pulse_tpu.learning.vq_quantizer import create_codebook
+
+        net = ZEmbedding(latent_dim=4, z_type="vq_vae")
+        feat = jnp.ones((2, 8))
+        cb = create_codebook(jax.random.PRNGKey(1), 16, 4)
+        params = net.init(jax.random.PRNGKey(2), feat, cb)["params"]
+
+        def loss(p):
+            z, _ = net.apply({"params": p}, feat, cb)
+            return jnp.sum(z**2)
+
+        g = jax.grad(loss)(params)
+        gmax = max(float(jnp.abs(x).max()) for x in jax.tree.leaves(g))
+        assert gmax > 0.0
+
+
+class TestSeptPointnet:
+    def test_pointnet_channel(self):
+        from pulse_tpu.learning.networks import SeptActorCritic
+
+        net = SeptActorCritic(
+            action_dim=3, self_obs_dim=10,
+            self_units=(16,), task_units=(16,), actor_units=(16,),
+            critic_units=(16,), num_points=4, point_dim=3, point_units=(8,),
+        )
+        obs = jax.random.normal(jax.random.PRNGKey(0), (2, 10 + 5 + 12))
+        params = net.init(jax.random.PRNGKey(1), obs)["params"]
+        mu, ls, v = net.apply({"params": params}, obs)
+        assert mu.shape == (2, 3) and v.shape == (2,)
+        # max-pool => permuting the points must not change the output
+        pts = obs[:, -12:].reshape(2, 4, 3)
+        perm = pts[:, [2, 0, 3, 1], :].reshape(2, 12)
+        obs2 = jnp.concatenate([obs[:, :-12], perm], axis=-1)
+        mu2, _, _ = net.apply({"params": params}, obs2)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu2), rtol=1e-5)
+
+
+class TestCNN:
+    def test_cnn_actor_critic(self):
+        from pulse_tpu.learning.networks import CNNActorCritic
+
+        net = CNNActorCritic(
+            action_dim=4, grid_shape=(8, 8), conv_channels=(4, 8),
+            actor_units=(32,), critic_units=(32,), dtype=jnp.float32,
+        )
+        obs = jax.random.normal(jax.random.PRNGKey(0), (3, 20 + 64))
+        params = net.init(jax.random.PRNGKey(1), obs)["params"]
+        mu, ls, v = net.apply({"params": params}, obs)
+        assert mu.shape == (3, 4) and v.shape == (3,)
+        assert "conv" in params
+        # grid content must influence the output
+        obs2 = obs.at[:, -64:].add(1.0)
+        mu2, _, _ = net.apply({"params": params}, obs2)
+        assert np.abs(np.asarray(mu - mu2)).max() > 1e-6

@@ -77,3 +77,62 @@ class TestTerrainEnv:
         assert np.all(np.isfinite(np.asarray(state.obs)))
         out = jax.jit(env.step)(state, jnp.zeros((2, env.action_dim)))
         assert np.all(np.isfinite(np.asarray(out.obs)))
+
+
+class TestMeshTerrain:
+    """Scanned-scene terrain (≙ MeshTerrain, pedestrian_terrain.py:975-1110)."""
+
+    def test_from_heightmap_walkable_sampling(self):
+        from pulse_tpu.env.terrain import MeshTerrain
+
+        hm = np.zeros((20, 20), np.float32)
+        hm[10:, :] = 5.0  # a cliff: the jump row is unwalkable
+        mt = MeshTerrain.from_heightmap(hm, cell_size=0.5, origin=(0.0, 0.0))
+        pts = np.asarray(mt.sample_valid_locations(jax.random.PRNGKey(0), 256))
+        assert pts.shape == (256, 2)
+        # every sampled point sits on a locally-flat cell
+        h = np.asarray(mt.height_at(jnp.asarray(pts)))
+        assert np.all((np.abs(h) < 0.3) | (np.abs(h - 5.0) < 0.3))
+
+    def test_explicit_walkable_map(self):
+        from pulse_tpu.env.terrain import MeshTerrain
+
+        hm = np.zeros((8, 8), np.float32)
+        wm = np.zeros((8, 8), np.uint8)
+        wm[2, 3] = 1
+        mt = MeshTerrain.from_heightmap(hm, wm, cell_size=1.0, origin=(0.0, 0.0))
+        pts = np.asarray(mt.sample_valid_locations(jax.random.PRNGKey(1), 32))
+        np.testing.assert_allclose(pts, np.tile([[2.0, 3.0]], (32, 1)))
+
+    def test_mesh_rasterization(self):
+        """A sloped quad rasterizes to a plane; heights match analytically."""
+        from pulse_tpu.env.terrain import MeshTerrain
+
+        # z = 0.25 * x over [0,4]x[0,4] (gentle slope: stays walkable)
+        verts = np.array(
+            [[0, 0, 0], [4, 0, 1], [4, 4, 1], [0, 4, 0]], np.float64
+        )
+        faces = np.array([[0, 1, 2], [0, 2, 3]])
+        mt = MeshTerrain.from_mesh(verts, faces, cell_size=0.5)
+        xy = jnp.asarray([[1.0, 2.0], [3.0, 1.0], [2.0, 2.0]])
+        h = np.asarray(mt.height_at(xy))
+        np.testing.assert_allclose(h, [0.25, 0.75, 0.5], atol=0.1)
+
+    def test_terrain_env_with_mesh(self):
+        """Env accepts a scanned terrain and spawns on walkable cells."""
+        from pulse_tpu.env.terrain import MeshTerrain
+
+        spec = load_smpl_humanoid()
+        model = build_model(spec, PhysicsConfig())
+        clips = make_synthetic_clips(spec.skeleton, num_clips=1, seconds=1.0)
+        motion = build_motion_data(spec.skeleton, clips)
+        hm = np.zeros((40, 40), np.float32)
+        mt = MeshTerrain.from_heightmap(hm, cell_size=0.5, origin=(-10.0, -10.0))
+        env = HumanoidPedestrianTerrainEnv(
+            model, motion, mesh_terrain=mt, height_map_shape=(4, 4)
+        )
+        keys = jax.random.split(jax.random.PRNGKey(2), 2)
+        state = jax.jit(env.reset)(keys)
+        assert np.all(np.isfinite(np.asarray(state.obs)))
+        xy = np.asarray(state.physics.root_pos[:, :2])
+        assert (xy >= -10.0).all() and (xy <= 10.0).all()
