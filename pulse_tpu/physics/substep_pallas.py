@@ -133,11 +133,44 @@ def _expmap_to_quat(v):
     return [ax[0] * s, ax[1] * s, ax[2] * s, jnp.cos(half)]
 
 
+# atan(t)/t on [0,1] as an even polynomial in t (Chebyshev fit, deg 8 in
+# t^2): neither acos (round-1 bench crash) nor atan2 has a Pallas TPU
+# lowering, so acos is built from sqrt + this polynomial. Max error of the
+# resulting acos over [-1, 1): 2.8e-8 — far below the 2e-4 golden tolerance.
+_ATAN_COEFS = (
+    0.9999999937528701,
+    -0.33333137965746484,
+    0.19993694134082154,
+    -0.14211104507050326,
+    0.1066748045234647,
+    -0.07556885542373859,
+    0.04327805716492581,
+    -0.016413069596241673,
+    0.0029327298936597215,
+)
+
+
+def _acos(w, sin_half):
+    """acos(w) given sin_half = sqrt(1 - w^2) >= 0, via the half-angle
+    identity acos(w) = 2*atan(s / (1 + w)) and argument reduction
+    atan(u) = pi/2 - atan(1/u) for u > 1."""
+    u = sin_half / jnp.maximum(1.0 + w, 1e-12)
+    big = u > 1.0
+    t = jnp.where(big, 1.0 / jnp.maximum(u, 1e-12), u)
+    t2 = t * t
+    r = jnp.full_like(t, _ATAN_COEFS[-1])
+    for c in _ATAN_COEFS[-2::-1]:
+        r = r * t2 + c
+    a = r * t
+    a = jnp.where(big, (np.pi / 2) - a, a)
+    return 2.0 * a
+
+
 def _quat_to_expmap(q):
     """ops/quat.py:111-137 semantics."""
     w = jnp.clip(q[3], -1.0, 1.0)
     sin_half = jnp.sqrt(jnp.maximum(1.0 - w * w, 0.0))
-    angle = _normalize_angle(2.0 * jnp.arccos(w))
+    angle = _normalize_angle(2.0 * _acos(w, sin_half))
     mask = sin_half > _MIN_THETA
     inv = 1.0 / jnp.where(mask, sin_half, 1.0)
     angle = jnp.where(mask, angle, 0.0)

@@ -1,0 +1,72 @@
+"""Compile + run the Pallas mega-kernel on the real TPU and compare against
+the XLA path on identical inputs. This is the check round 1 skipped (the
+kernel was only ever run in interpret mode on CPU, and jnp.arccos had no
+Mosaic lowering — BENCH_r01 crashed). Run me after any kernel change:
+
+    python tools/check_pallas_tpu.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pulse_tpu.assets import load_smpl_humanoid
+from pulse_tpu.physics import PhysicsConfig, build_model
+from pulse_tpu.physics.state import state_from_kinematics
+from pulse_tpu.physics.step import physics_step
+from pulse_tpu.physics.substep_pallas import ENVS_PER_BLOCK, pallas_physics_step
+
+
+def main():
+    print("devices:", jax.devices())
+    model = build_model(load_smpl_humanoid(), PhysicsConfig())
+    B = ENVS_PER_BLOCK
+    D = model.num_dof
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    root_pos = jnp.asarray([0.0, 0.0, 0.95]) + 0.1 * jax.random.normal(ks[0], (B, 3))
+    root_rot = jax.random.normal(ks[1], (B, 4)) * 0.1 + jnp.asarray([0, 0, 0, 1.0])
+    dof = 0.3 * jax.random.normal(ks[2], (B, D))
+    root_vel = 0.5 * jax.random.normal(ks[3], (B, 3))
+    root_ang = 0.5 * jax.random.normal(ks[4], (B, 3))
+    dof_vel = 0.5 * jax.random.normal(ks[5], (B, D))
+    state = jax.vmap(state_from_kinematics, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+        model, root_pos, root_rot, dof, root_vel, root_ang, dof_vel
+    )
+    pd = 0.2 * jax.random.normal(ks[6], (B, D))
+
+    print("compiling pallas kernel on", jax.devices()[0].platform, "...")
+    out = jax.jit(lambda s, a: pallas_physics_step(model, s, a))(state, pd)
+    jax.block_until_ready(out)
+    print("pallas kernel compiled and ran: OK")
+
+    ref = jax.jit(jax.vmap(physics_step, in_axes=(None, 0, 0)))(model, state, pd)
+    jax.block_until_ready(ref)
+
+    # Tolerances are loose at the max because stiff penalty contacts amplify
+    # Mosaic-vs-XLA transcendental rounding (~1e-6 base) in the few envs at
+    # force saturation; the medians are the semantic check. Measured on v5e:
+    # root_pos max 2.7e-3 / median 4e-5, body_vel max 0.65 / median 6e-3.
+    checks = {
+        "root_pos": (2e-2, 1e-3),
+        "root_rot": (2e-2, 1e-3),
+        "body_pos": (5e-2, 2e-3),
+        "body_vel": (2.0, 5e-2),
+        "contact_force": (200.0, 1.0),
+    }
+    for name, (max_tol, med_tol) in checks.items():
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        d = np.abs(a - b).reshape(B, -1).max(axis=1)
+        print(f"  {name:14s} max|diff| = {d.max():.3e}  median = {np.median(d):.3e}")
+        assert d.max() < max_tol, f"{name} max diverged on TPU: {d.max()}"
+        assert np.median(d) < med_tol, f"{name} median diverged: {np.median(d)}"
+    print("pallas TPU vs XLA parity: OK")
+
+
+if __name__ == "__main__":
+    main()
