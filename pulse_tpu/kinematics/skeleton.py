@@ -148,8 +148,13 @@ def _gaussian_kernel1d(size: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def _smooth_time_axis(x: jax.Array, kernel_size: int = 5, sigma: float = 2.0) -> jax.Array:
-    """Gaussian filter along axis 0 (time) with edge replication."""
+def _smooth_time_axis(x: jax.Array, sigma: float = 2.0) -> jax.Array:
+    """Gaussian filter along axis 0 (time) with edge replication.
+
+    Matches scipy.ndimage.gaussian_filter1d(sigma=2, mode="nearest") as used
+    by poselib (skeleton3d.py:1103,1117): kernel radius = int(4*sigma + 0.5).
+    """
+    kernel_size = 2 * int(4.0 * sigma + 0.5) + 1
     k = jnp.asarray(_gaussian_kernel1d(kernel_size, sigma))
     pad = kernel_size // 2
     xp = jnp.concatenate([jnp.repeat(x[:1], pad, 0), x, jnp.repeat(x[-1:], pad, 0)], axis=0)
@@ -167,17 +172,12 @@ def compute_linear_velocity(pos: jax.Array, fps: float, smooth: bool = True) -> 
 def compute_angular_velocity(rot: jax.Array, fps: float, smooth: bool = True) -> jax.Array:
     """[T, ..., 4] global rotations -> [T, ..., 3] world-frame angular velocity.
 
-    omega(t) ~ axis*angle of q(t+1)*q(t-1)^-1 over 2 frames (central diff),
-    the same estimator poselib uses (skeleton3d.py:1110-1118).
+    omega(t) = axis*angle of q(t+1)*q(t)^-1 scaled by fps (forward diff;
+    the last frame is zero) — poselib's exact estimator
+    (skeleton3d.py:1110-1118), golden-tested in test_reference_parity.py.
     """
-    q_next = jnp.concatenate([rot[1:], rot[-1:]], axis=0)
-    q_prev = jnp.concatenate([rot[:1], rot[:-1]], axis=0)
-    # frame gap is 2 in the interior, 1 at both ends
-    T = rot.shape[0]
-    gap = jnp.ones((T,) + (1,) * (rot.ndim - 1))
-    if T > 2:
-        gap = gap.at[1:-1].set(2.0)
-    diff = q.quat_mul_norm(q_next, q.quat_inverse(q_prev))
+    diff = q.quat_mul_norm(rot[1:], q.quat_inverse(rot[:-1]))
     angle, axis = q.quat_to_angle_axis(diff)
-    omega = axis * (angle[..., None] * fps) / gap
+    omega = axis * (angle[..., None] * fps)
+    omega = jnp.concatenate([omega, jnp.zeros_like(omega[-1:])], axis=0)
     return _smooth_time_axis(omega) if smooth else omega

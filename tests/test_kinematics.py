@@ -93,8 +93,11 @@ class TestVelocities:
         axis = jnp.tile(jnp.asarray([0.0, 0, 1.0]), (T, 1))
         rot = ops.quat_from_angle_axis(angles, axis)[:, None, :]
         av = compute_angular_velocity(rot, fps=fps)
+        # poselib semantics (matched exactly): forward diff with a ZERO at the
+        # final frame, then sigma=2 radius-8 gaussian smoothing — so the last
+        # ~10 frames are polluted by the terminal zero, like the reference's.
         np.testing.assert_allclose(
-            av[5:-5, 0], np.tile([0, 0, omega], (T - 10, 1)), atol=1e-3
+            av[8:-10, 0], np.tile([0, 0, omega], (T - 18, 1)), atol=1e-3
         )
 
 
