@@ -204,7 +204,12 @@ class Discriminator(nn.Module):
 
 
 class Encoder(nn.Module):
-    """PULSE posterior encoder: [self_obs, task_obs] -> (z_mu, z_logvar)."""
+    """PULSE posterior encoder: [self_obs, task_obs] -> (z_mu, z_logvar).
+
+    Structure mirrors AMPZBuilder._build_z_mlp (amp_network_z_builder.py:
+    489-511): activated MLP trunk, then an UNactivated bottleneck Linear to
+    latent_dim*5 (the z_mlp's appended output layer), then the z_mu /
+    z_logvar head Linears — so reference VAE checkpoints import 1:1."""
 
     latent_dim: int = 32
     units: Sequence[int] = (2048, 1536, 1024)
@@ -213,6 +218,7 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, obs):
         h = MLP(self.units, self.activation)(obs)
+        h = nn.Dense(self.latent_dim * 5, name="z_proj")(h)
         z_mu = nn.Dense(self.latent_dim, name="z_mu")(h)
         z_logvar = nn.Dense(self.latent_dim, name="z_logvar")(h)
         return z_mu, z_logvar

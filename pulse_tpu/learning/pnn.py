@@ -42,12 +42,17 @@ class PNN(nn.Module):
             acts_c = []
             for li, u in enumerate(self.units):
                 h = nn.Dense(u, name=f"col{c}_dense{li}")(h)
-                if self.has_lateral and c > 0:
-                    # lateral connections from all previous columns' layer li
+                if self.has_lateral and c > 0 and li > 0:
+                    # Lateral connections mirror the reference exactly
+                    # (phc/learning/pnn.py:96-103): layer li's pre-activation
+                    # receives, from every previous column pc, a bias-free
+                    # linear map of that column's layer li-1 ACTIVATION
+                    # (u[c-1][pc][li-1]); the first hidden layer and the
+                    # output layer have no laterals.
                     for pc in range(c):
-                        h = h + nn.Dense(u, use_bias=False, name=f"lat{pc}to{c}_l{li}")(
-                            laterals[pc][li]
-                        )
+                        h = h + nn.Dense(
+                            u, use_bias=False, name=f"lat{pc}to{c}_l{li}"
+                        )(laterals[pc][li - 1])
                 h = act(h)
                 acts_c.append(h)
             laterals.append(acts_c)
@@ -56,16 +61,29 @@ class PNN(nn.Module):
 
 
 class MCPComposer(nn.Module):
-    """Composer MLP: obs -> softmax weights over primitives."""
+    """Composer MLP: obs -> weights over primitives.
+
+    `final` controls the weight head:
+      - "softmax": the trained MCP policy head (amp_network_mcp_builder.py:53-55)
+      - an activation name ("relu"/"silu"): the reference's DISTILL-TEACHER
+        reconstruction — load_mcp_mlp (network_loader.py:36-39) rebuilds the
+        composer from the state dict, where the parameterless softmax is lost,
+        and appends a plain activation instead; PULSE is distilled from THAT
+        teacher, so checkpoint-parity requires reproducing it.
+    """
 
     num_primitives: int = 3
     units: Sequence[int] = (512, 256)
     activation: str = "relu"
+    final: str = "softmax"
 
     @nn.compact
     def __call__(self, obs):
         h = MLP(self.units, self.activation)(obs)
-        return jax.nn.softmax(nn.Dense(self.num_primitives)(h), axis=-1)
+        logits = nn.Dense(self.num_primitives)(h)
+        if self.final == "softmax":
+            return jax.nn.softmax(logits, axis=-1)
+        return _ACT[self.final](logits)
 
 
 def compose_actions(weights: jax.Array, primitive_actions: jax.Array) -> jax.Array:
