@@ -81,6 +81,12 @@ class EnvConfig:
     occlusion_prob: float = 0.0
     occlusion_frac: float = 0.25
     num_amp_obs_steps: int = 10     # discriminator window (humanoid_amp.py:91)
+    # shape conditioning channels (≙ has_shape_obs / has_limb_weight_obs,
+    # humanoid.py:266-267,1166-1177): append [gender, betas(10)] and the 10
+    # limb length/mass group sums to the self obs; rows come from
+    # enable_shape_variation (zeros until then)
+    has_shape_obs: bool = False
+    has_limb_weight_obs: bool = False
     key_bodies: Sequence[str] = DEFAULT_KEY_BODIES
     reset_bodies: Sequence[str] = DEFAULT_RESET_BODIES
     # bodies the task obs/reward track; None -> all (subset = VR-style
@@ -118,6 +124,10 @@ class EnvState:
     amp_hist: jax.Array        # [S, amp_obs_dim_single] newest first
     recovery_counter: jax.Array = 0  # steps of termination grace (getup)
     self_obs_hist: jax.Array | None = None  # [H, single] for self_obs_v == 2
+    # static per-env shape conditioning row ([gender+betas?] ++ [limb
+    # weights?] per the config flags); survives auto-resets, replaced only
+    # by enable_shape_variation resampling
+    shape_obs: jax.Array | None = None
 
     @property
     def amp_obs(self) -> jax.Array:
@@ -180,6 +190,13 @@ class HumanoidImEnv:
                 [self._names.index(n) for n in ("L_Ankle", "R_Ankle")], np.int32
             )
             self.self_obs_dim_single += 6 * len(self.sensor_body_ids)
+        # shape conditioning channels (humanoid.py:1166-1177 obs tail)
+        self.shape_extra_dim = (11 if self.config.has_shape_obs else 0) + (
+            10 if self.config.has_limb_weight_obs else 0
+        )
+        self.self_obs_dim_single += self.shape_extra_dim
+        self._shape_obs_table = None   # [N, shape_extra_dim], set by
+        #                                enable_shape_variation
         if self.config.self_obs_v == 2:
             self.self_obs_dim = self.config.self_obs_hist_steps * self.self_obs_dim_single
         else:
@@ -298,11 +315,16 @@ class HumanoidImEnv:
             return jnp.where(use_start, 0.0, sample_time(k2, self.motion, motion_id[None])[0])
         return jnp.zeros(())  # Default
 
-    def reset_one(self, key: jax.Array, model: Model | None = None) -> EnvState:
+    def reset_one(
+        self,
+        key: jax.Array,
+        model: Model | None = None,
+        shape_obs: jax.Array | None = None,
+    ) -> EnvState:
         k_motion, k_time, k_next = jax.random.split(key, 3)
         motion_id = sample_motions(k_motion, self.motion, 1)[0]
         start_time = self._sample_init_time(k_time, motion_id)
-        return self._reset_to(k_next, motion_id, start_time, model)
+        return self._reset_to(k_next, motion_id, start_time, model, shape_obs)
 
     def reset_to_one(
         self, key: jax.Array, motion_id: jax.Array, start_time: jax.Array
@@ -311,8 +333,17 @@ class HumanoidImEnv:
         (≙ begin_seq_motion_samples, humanoid_im.py:439-448)."""
         return self._reset_to(key, motion_id, start_time)
 
-    def _reset_to(self, k_next, motion_id, start_time, model: Model | None = None) -> EnvState:
+    def _reset_to(
+        self,
+        k_next,
+        motion_id,
+        start_time,
+        model: Model | None = None,
+        shape_obs: jax.Array | None = None,
+    ) -> EnvState:
         model = self.model if model is None else model
+        if shape_obs is None and self.shape_extra_dim:
+            shape_obs = jnp.zeros(self.shape_extra_dim)
         ref = self._ref_state(motion_id, start_time)
         physics = state_from_kinematics(
             model,
@@ -336,6 +367,7 @@ class HumanoidImEnv:
             terminate=jnp.zeros((), bool),
             amp_hist=self._init_amp_hist(motion_id, start_time),
             recovery_counter=jnp.zeros((), jnp.int32),
+            shape_obs=shape_obs,
         )
         if self.config.self_obs_v == 2:
             single = self._self_obs_single(state)
@@ -394,6 +426,13 @@ class HumanoidImEnv:
             # foot force sensors: net contact force + torque proxy
             f = ph.contact_force[self.sensor_body_ids].reshape(-1)
             so = jnp.concatenate([so, f, jnp.zeros_like(f)])
+        if self.shape_extra_dim:
+            extra = (
+                state.shape_obs
+                if state.shape_obs is not None
+                else jnp.zeros(self.shape_extra_dim)
+            )
+            so = jnp.concatenate([so, extra])
         return so
 
     def _observe(self, state: EnvState) -> jax.Array:
@@ -607,8 +646,9 @@ class HumanoidImEnv:
         stepped = stepped.replace(obs=obs, amp_hist=amp_hist)
 
         # in-graph auto-reset: branch-free select between stepped and fresh
+        # (the per-env shape row is static across resets, so it carries over)
         k_reset, k_keep = jax.random.split(state.key)
-        fresh = self.reset_one(k_reset, model)
+        fresh = self.reset_one(k_reset, model, state.shape_obs)
         next_state = jax.tree.map(
             lambda a, b: jnp.where(
                 jnp.reshape(reset, (1,) * a.ndim) if a.ndim else reset, a, b
@@ -626,6 +666,10 @@ class HumanoidImEnv:
     # ------------------------------------------------------------------ #
 
     def reset(self, keys: jax.Array) -> EnvState:
+        if self._shape_obs_table is not None:
+            return jax.vmap(self.reset_one)(
+                keys, self.batched_model, self._shape_obs_table
+            )
         if self.batched_model is None:
             return jax.vmap(self.reset_one)(keys)
         return jax.vmap(self.reset_one)(keys, self.batched_model)
@@ -656,11 +700,49 @@ class HumanoidImEnv:
             return jax.vmap(self.step_one)(states, actions)
         return jax.vmap(self.step_one)(states, actions, self.batched_model)
 
-    def enable_shape_variation(self, key: jax.Array, num_envs: int,
-                               scale_range=(0.9, 1.1)) -> None:
+    def enable_shape_variation(
+        self,
+        key: jax.Array,
+        num_envs: int,
+        scale_range=(0.9, 1.1),
+        smpl_model=None,
+        beta_std: float = 1.0,
+    ) -> None:
         """Give every env its own body shape (≙ has_shape_variation +
         periodic shape resampling, humanoid.py:918-1035 / amp_agent.py:
-        557-579). Call again with a new key to resample."""
-        from pulse_tpu.physics.shape_variation import vary_model_scales
+        557-579). Call again with a new key to resample.
 
-        self.batched_model = vary_model_scales(self.model, key, num_envs, scale_range)
+        With `smpl_model` (a pulse_tpu.smpl.SMPLModel), per-env skeletons are
+        generated from sampled SMPL betas — the reference's SMPL_Robot path;
+        without it, isotropic scale factors. Fills the per-env shape/limb
+        obs rows when the config flags ask for them."""
+        from pulse_tpu.physics.shape_variation import (
+            limb_weight_params,
+            models_from_betas,
+            vary_model_scales,
+        )
+
+        if smpl_model is None:
+            self.batched_model = vary_model_scales(
+                self.model, key, num_envs, scale_range
+            )
+            betas = jnp.zeros((num_envs, 10))
+        else:
+            betas = beta_std * jax.random.normal(key, (num_envs, 10))
+            self.batched_model = models_from_betas(
+                self.model, smpl_model, betas, self._names
+            )
+        if self.shape_extra_dim:
+            parts = []
+            if self.config.has_shape_obs:
+                gender = jnp.zeros((num_envs, 1))      # neutral
+                parts.append(jnp.concatenate([gender, betas], axis=-1))
+            if self.config.has_limb_weight_obs:
+                parts.append(
+                    limb_weight_params(
+                        self.batched_model.local_translation,
+                        self.batched_model.body_mass,
+                        self._names,
+                    )
+                )
+            self._shape_obs_table = jnp.concatenate(parts, axis=-1)

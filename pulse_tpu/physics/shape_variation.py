@@ -16,6 +16,7 @@ Two sources of variation:
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +63,122 @@ def vary_model_scales(
         cap_p0=b(model.cap_p0),
         cap_p1=b(model.cap_p1),
         cap_r=b(model.cap_r),
+    )
+
+
+# the reference's limb grouping for the limb-weight obs channel
+# (humanoid.py:398-403,415; lengths + masses summed per group)
+LIMB_WEIGHT_GROUPS = (
+    ("L_Hip", "L_Knee", "L_Ankle", "L_Toe"),
+    ("R_Hip", "R_Knee", "R_Ankle", "R_Toe"),
+    ("Pelvis", "Torso", "Spine", "Chest", "Neck", "Head"),
+    ("L_Thorax", "L_Shoulder", "L_Elbow", "L_Wrist", "L_Hand"),
+    ("R_Thorax", "R_Shoulder", "R_Elbow", "R_Wrist", "R_Hand"),
+)
+
+
+def limb_weight_params(
+    local_translation: jax.Array,  # [..., J, 3]
+    body_mass: jax.Array,          # [..., J]
+    node_names,
+) -> jax.Array:
+    """Limb-weight obs: summed limb lengths then summed masses per group
+    (≙ humanoid.py:946-956 humanoid_limb_and_weights). [..., 10]."""
+    lengths = jnp.linalg.norm(local_translation, axis=-1)
+    parts = []
+    for group in LIMB_WEIGHT_GROUPS:
+        ids = jnp.asarray([node_names.index(n) for n in group])
+        parts.append(jnp.sum(lengths[..., ids], axis=-1))
+    for group in LIMB_WEIGHT_GROUPS:
+        ids = jnp.asarray([node_names.index(n) for n in group])
+        parts.append(jnp.sum(body_mass[..., ids], axis=-1))
+    return jnp.stack(parts, axis=-1)
+
+
+def models_from_betas(
+    model: Model,
+    smpl_model,
+    betas: jax.Array,          # [N, S]
+    node_names,
+    default_mass: float | None = None,
+) -> Model:
+    """Batched Model whose per-env skeletons come from SMPL shape betas
+    (≙ SMPL_Robot per-shape MJCF generation + per-env actor properties,
+    humanoid.py:693-720,918-1035 — without the XML round-trip).
+
+    Bone offsets are the beta-shaped rest joints exactly; masses / inertias /
+    geoms scale per body by the bone-length ratio (mass ~ s^3, the spatial-
+    inertia blocks by s^5 / s^4 / s^3); PD gains scale by total-mass ratio
+    (the reference's pd_scale = humanoid_mass / default_humanoid_mass,
+    humanoid.py:989-993). betas == 0 reproduces `model` bit-exactly when the
+    SMPL model's zero-shape joints match the model skeleton (the synthetic
+    fixture guarantees this; a real SMPL pickle matches to MJCF rounding)."""
+    from pulse_tpu.smpl.body_model import SMPL_JOINT_NAMES, shaped_joints
+
+    N = betas.shape[0]
+    J = model.num_bodies
+    parents = np.asarray(model.parents)
+
+    joints_smpl = shaped_joints(smpl_model, betas)           # [N, Js, 3] smpl order
+    perm = jnp.asarray([SMPL_JOINT_NAMES.index(n) for n in node_names])
+    joints = joints_smpl[:, perm]                            # [N, J, 3] model order
+
+    parent_pos = jnp.where(
+        (parents < 0)[None, :, None], 0.0, joints[:, np.maximum(parents, 0)]
+    )
+    new_local = joints - parent_pos                          # root keeps its joint pos
+
+    base_local = model.local_translation                     # [J, 3]
+    base_len = jnp.linalg.norm(base_local, axis=-1)
+    new_len = jnp.linalg.norm(new_local, axis=-1)
+    s = jnp.where(base_len > 1e-6, new_len / jnp.maximum(base_len, 1e-6), 1.0)
+    # root has no bone: inherit the mean of its children's scales
+    child_mask = jnp.asarray(parents == 0)
+    s_root = jnp.sum(jnp.where(child_mask[None], s, 0.0), axis=1) / jnp.maximum(
+        jnp.sum(child_mask), 1
+    )
+    s = s.at[:, 0].set(s_root)                               # [N, J]
+
+    body_mass = model.body_mass[None] * s**3
+    total_mass = jnp.sum(body_mass, axis=-1)
+    base_total = (
+        jnp.asarray(default_mass) if default_mass is not None else model.total_mass
+    )
+    pd_scale = total_mass / base_total                       # [N]
+
+    # spatial inertia about the body origin: blocks scale s^5 / s^4 / s^3
+    F = jnp.zeros((N, J, 6, 6))
+    F = F.at[:, :, :3, :3].set(s[..., None, None] ** 5)
+    F = F.at[:, :, :3, 3:].set(s[..., None, None] ** 4)
+    F = F.at[:, :, 3:, :3].set(s[..., None, None] ** 4)
+    F = F.at[:, :, 3:, 3:].set(s[..., None, None] ** 3)
+
+    s_cp = s[:, np.asarray(model.cp_body_static)]            # [N, P]
+    s_joint = s[:, 1:]                                       # [N, J-1] (joint j = body j+1)
+
+    def bc(x):
+        return jnp.broadcast_to(x, (N,) + x.shape)
+
+    return model.replace(
+        local_translation=new_local,
+        body_mass=body_mass,
+        body_com=model.body_com[None] * s[..., None],
+        spatial_inertia=model.spatial_inertia[None] * F,
+        total_mass=total_mass,
+        joint_kp=model.joint_kp[None] * pd_scale[:, None],
+        joint_kd=model.joint_kd[None] * pd_scale[:, None],
+        joint_armature=model.joint_armature[None] * s_joint**2,
+        dof_lower=bc(model.dof_lower),
+        dof_upper=bc(model.dof_upper),
+        pd_action_offset=bc(model.pd_action_offset),
+        pd_action_scale=bc(model.pd_action_scale),
+        cp_body=bc(model.cp_body),
+        cp_offset=model.cp_offset[None] * s_cp[..., None],
+        cp_radius=model.cp_radius[None] * s_cp,
+        cp_friction=bc(model.cp_friction),
+        cap_p0=model.cap_p0[None] * s[..., None],
+        cap_p1=model.cap_p1[None] * s[..., None],
+        cap_r=model.cap_r[None] * s,
     )
 
 

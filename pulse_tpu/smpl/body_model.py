@@ -68,16 +68,28 @@ def load_smpl_model(path: str) -> SMPLModel:
         shapedirs=np.asarray(shapedirs),
         J_regressor=np.asarray(J_regressor),
         weights=arr(data["weights"]),
-        parents=np.asarray(data["kintree_table"][0], np.int64).clip(min=-1)[:24],
+        # release pickles store the root's parent as uint32(-1) = 4294967295
+        parents=np.where(
+            (p := np.asarray(data["kintree_table"][0], np.int64)[:24]) >= 2**31,
+            -1,
+            p,
+        ),
     )
 
 
 def shaped_joints(model: SMPLModel, betas: jax.Array) -> jax.Array:
-    """Rest-pose joint positions for shape betas [..., S] -> [..., J, 3]."""
+    """Rest-pose joint positions for shape betas [..., S] -> [..., J, 3].
+
+    precision=highest: this is offline shape generation, and the TPU's
+    default bf16 matmul precision would quantize bone lengths by ~3 mm."""
     v = jnp.asarray(model.v_template) + jnp.einsum(
-        "vds,...s->...vd", jnp.asarray(model.shapedirs), betas
+        "vds,...s->...vd", jnp.asarray(model.shapedirs), betas,
+        precision="highest",
     )
-    return jnp.einsum("jv,...vd->...jd", jnp.asarray(model.J_regressor), v)
+    return jnp.einsum(
+        "jv,...vd->...jd", jnp.asarray(model.J_regressor), v,
+        precision="highest",
+    )
 
 
 def lbs(
@@ -88,9 +100,12 @@ def lbs(
 ) -> tuple[jax.Array, jax.Array]:
     """Linear blend skinning -> (vertices [V, 3], joints [J, 3])."""
     v_shaped = jnp.asarray(model.v_template) + jnp.einsum(
-        "vds,s->vd", jnp.asarray(model.shapedirs), betas
+        "vds,s->vd", jnp.asarray(model.shapedirs), betas, precision="highest"
     )
-    joints = jnp.einsum("jv,vd->jd", jnp.asarray(model.J_regressor), v_shaped)
+    joints = jnp.einsum(
+        "jv,vd->jd", jnp.asarray(model.J_regressor), v_shaped,
+        precision="highest",
+    )
 
     J = model.num_joints
     parents = model.parents
@@ -110,7 +125,7 @@ def lbs(
     w = jnp.asarray(model.weights)  # [V, J]
     rel = v_shaped[:, None, :] - joints[None, :, :]          # [V, J, 3]
     rotated = q.quat_rotate(g_rot[None, :, :], rel) + g_pos[None, :, :]
-    verts = jnp.einsum("vj,vjd->vd", w, rotated) + trans
+    verts = jnp.einsum("vj,vjd->vd", w, rotated, precision="highest") + trans
     return verts, g_pos + trans
 
 
