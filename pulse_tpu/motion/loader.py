@@ -59,13 +59,16 @@ def save_npz(path: str, clips: list[dict]) -> None:
 
 
 def _load_reference_pkl(path: str, tree: SkeletonTree) -> list[dict]:
-    """Read the reference's converted-AMASS pickle format.
+    """Read the reference's converted-AMASS pickle format (a JOBLIB dump —
+    convert_amass_isaac.py:142 — with plain-pickle fallback).
 
     Each entry holds local joint quats (`pose_quat`, [T, J, 4] xyzw, in the
     skeleton's joint order) and root translations already offset to the
-    skeleton (`root_trans_offset`)."""
-    with open(path, "rb") as fh:
-        db = pickle.load(fh)
+    skeleton (`root_trans_offset`, stored as a torch tensor by the
+    reference; np.asarray handles both)."""
+    from pulse_tpu.motion.reference_format import load_reference_pkl
+
+    db = load_reference_pkl(path)
     clips = []
     for key, entry in db.items():
         if not isinstance(entry, dict) or "pose_quat" not in entry:
@@ -75,7 +78,14 @@ def _load_reference_pkl(path: str, tree: SkeletonTree) -> list[dict]:
         fps = float(entry.get("fps", 30.0))
         if lr.ndim != 3 or lr.shape[1] != tree.num_joints:
             continue
-        clips.append({"fps": fps, "local_rotation": lr, "root_translation": rt})
+        clips.append(
+            {
+                "fps": fps,
+                "local_rotation": lr,
+                "root_translation": rt,
+                "name": str(key),
+            }
+        )
     if not clips:
         raise ValueError(f"{path}: no usable clips")
     return clips
