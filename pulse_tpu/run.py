@@ -60,6 +60,7 @@ def build_motion_from_cfg(cfg, spec):
 
 def build_env_from_cfg(cfg, model, motion):
     from pulse_tpu.env import EnvConfig, HumanoidImEnv
+    from pulse_tpu.env.humanoid_im import DEFAULT_KEY_BODIES, DEFAULT_RESET_BODIES
     from pulse_tpu.env.humanoid_task import (
         HumanoidReachEnv,
         HumanoidSpeedEnv,
@@ -87,21 +88,65 @@ def build_env_from_cfg(cfg, model, motion):
             control_mode=str(e.get("control_mode", "isaac_pd")),
             power_scale=float(e.get("power_scale", 1.0)),
             obs_v=int(e.get("obs_v", 6)),
+            self_obs_v=int(e.get("self_obs_v", 1)),
+            self_obs_hist_steps=int(e.get("self_obs_hist_steps", 5)),
+            obs_noise_std=float(e.get("obs_noise_std", 0.0)),
+            zero_out_far=bool(e.get("zero_out_far", False)),
+            zero_out_far_distance=float(e.get("zero_out_far_distance", 5.0)),
+            occlusion_prob=float(e.get("occlusion_prob", 0.0)),
+            occlusion_frac=float(e.get("occlusion_frac", 0.25)),
+            num_amp_obs_steps=int(e.get("num_amp_obs_steps", 10)),
+            use_pallas_physics=bool(e.get("use_pallas_physics", True)),
+            has_shape_obs=bool(e.get("has_shape_obs", False)),
+            has_limb_weight_obs=bool(e.get("has_limb_weight_obs", False)),
+            key_bodies=(
+                tuple(e["key_bodies"]) if e.get("key_bodies") else DEFAULT_KEY_BODIES
+            ),
+            reset_bodies=(
+                tuple(e["reset_bodies"])
+                if e.get("reset_bodies")
+                else DEFAULT_RESET_BODIES
+            ),
             track_bodies=(
                 tuple(e["track_bodies"]) if e.get("track_bodies") else None
             ),
+            **{
+                k: float(rs[k])
+                for rs in (e.get("reward_specs") or {},)
+                for k in rs
+            },
         )
         if task == "HumanoidIm":
-            return HumanoidImEnv(model, motion, EnvConfig(**common))
-        from pulse_tpu.env.humanoid_im_getup import GetupConfig, HumanoidImGetupEnv
+            im_env = HumanoidImEnv(model, motion, EnvConfig(**common))
+        else:
+            from pulse_tpu.env.humanoid_im_getup import (
+                GetupConfig,
+                HumanoidImGetupEnv,
+            )
 
-        gc = GetupConfig(
-            recovery_steps=int(e.get("recovery_steps", 90)),
-            recovery_episode_prob=float(e.get("recovery_episode_prob", 0.3)),
-            fall_init_prob=float(e.get("fall_init_prob", 0.1)),
-            **common,
-        )
-        return HumanoidImGetupEnv(model, motion, gc)
+            gc = GetupConfig(
+                recovery_steps=int(e.get("recovery_steps", 90)),
+                recovery_episode_prob=float(e.get("recovery_episode_prob", 0.3)),
+                fall_init_prob=float(e.get("fall_init_prob", 0.1)),
+                **common,
+            )
+            im_env = HumanoidImGetupEnv(model, motion, gc)
+        if bool(e.get("shape_variation", False)):
+            # per-env body shapes (≙ has_shape_variation, humanoid.py:918-1035)
+            import jax as _jax
+
+            smpl = None
+            if str(e.get("smpl_model_path", "") or ""):
+                from pulse_tpu.smpl.body_model import load_smpl_model
+
+                smpl = load_smpl_model(str(e["smpl_model_path"]))
+            im_env.enable_shape_variation(
+                _jax.random.PRNGKey(int(cfg["seed"]) + 7),
+                int(cfg["num_envs"]),
+                smpl_model=smpl,
+                beta_std=float(e.get("shape_beta_std", 1.0)),
+            )
+        return im_env
 
     tc_kwargs = dict(
         episode_length=int(e["episode_length"]),

@@ -43,3 +43,79 @@ class TestConfigTree:
         cfg = load_config(["env=im", "env.episode_length=123", "seed=7"])
         assert cfg["env"]["episode_length"] == 123
         assert cfg["seed"] == 7
+
+    def test_unknown_override_raises(self):
+        """A typoed override must error, not be silently ignored."""
+        with pytest.raises(KeyError):
+            load_config(["env=im", "env.episod_length=123"])
+        with pytest.raises(KeyError):
+            load_config(["env=im", "nonexistent_top=1"])
+        with pytest.raises(KeyError):
+            load_config(["env=im", "env.reward_specs.k_posz=1"])
+
+
+class TestKnobPlumbing:
+    """Every EnvConfig knob must be reachable from the YAML/CLI surface
+    (round-1 VERDICT weak #5: unreachable features rot)."""
+
+    def _env(self, *ov):
+        cfg = load_config(["env=im", "num_envs=2", *ov])
+        spec, model = run_mod.build_model_from_cfg(cfg)
+        motion = run_mod.build_motion_from_cfg(cfg, spec)
+        return run_mod.build_env_from_cfg(cfg, model, motion)
+
+    def test_self_obs_v(self):
+        e1 = self._env()
+        e2 = self._env("env.self_obs_v=2", "env.self_obs_hist_steps=3")
+        assert e2.config.self_obs_v == 2
+        assert e2.self_obs_dim == 3 * e1.self_obs_dim_single
+
+    def test_obs_noise_and_occlusion(self):
+        env = self._env(
+            "env.obs_noise_std=0.01", "env.occlusion_prob=0.5",
+            "env.occlusion_frac=0.1",
+        )
+        assert env.config.obs_noise_std == 0.01
+        assert env.config.occlusion_prob == 0.5
+        assert env.config.occlusion_frac == 0.1
+
+    def test_zero_out_far(self):
+        env = self._env("env.zero_out_far=true", "env.zero_out_far_distance=2.5")
+        assert env.config.zero_out_far
+        assert env.config.zero_out_far_distance == 2.5
+
+    def test_num_amp_obs_steps(self):
+        env = self._env("env.num_amp_obs_steps=4")
+        assert env.amp_obs_dim == 4 * env.amp_obs_dim_single
+
+    def test_use_pallas_physics(self):
+        env = self._env("env.use_pallas_physics=false")
+        assert not env._pallas_eligible
+
+    def test_body_lists(self):
+        env = self._env(
+            'env.key_bodies=["L_Hand","R_Hand"]',
+            'env.reset_bodies=["Pelvis","Head"]',
+            'env.track_bodies=["Head","L_Hand","R_Hand"]',
+        )
+        assert len(env.key_body_ids) == 2
+        assert len(env.reset_body_ids) == 2
+        assert len(env.track_body_ids) == 3
+
+    def test_reward_specs(self):
+        env = self._env("env.reward_specs.k_pos=50.0", "env.reward_specs.w_rot=0.4")
+        assert env.config.k_pos == 50.0
+        assert env.config.w_rot == 0.4
+
+    def test_shape_obs_flags(self):
+        env = self._env("env.has_shape_obs=true", "env.has_limb_weight_obs=true")
+        assert env.shape_extra_dim == 21
+
+    def test_shape_variation(self):
+        env = self._env("env.shape_variation=true")
+        assert env.batched_model is not None
+
+    def test_control_mode(self):
+        env = self._env("env.control_mode=force", "env.power_scale=0.5")
+        assert env.config.control_mode == "force"
+        assert env.config.power_scale == 0.5
