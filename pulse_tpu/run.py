@@ -196,6 +196,27 @@ def wrap_env_z(cfg, env):
     )
     ckpt_dir = cfg["env"].get("z_checkpoint", "")
     obs_dim = env.obs_dim
+    if ckpt_dir and ckpt_dir.endswith((".pth", ".pt")):
+        # reference torch checkpoint: rebuild the PulseVAE at the
+        # checkpoint's own sizes and import weights + running stats
+        # (≙ load_z_decoder/load_z_encoder on a rl-games .pth,
+        # network_loader.py:76-176)
+        from pulse_tpu.utils.checkpoint import (
+            import_pulse_vae,
+            import_running_mean_std,
+            load_torch_checkpoint,
+            pulse_vae_spec_from_torch,
+        )
+
+        ckpt = load_torch_checkpoint(ckpt_dir)
+        sd = ckpt["model"]
+        net = PulseVAE(**pulse_vae_spec_from_torch(sd))
+        frozen = FrozenZModel(
+            params=import_pulse_vae(sd),
+            obs_rms=import_running_mean_std(sd).freeze(),
+        )
+        print(f"frozen z model imported from torch checkpoint {ckpt_dir}")
+        return ZActionWrapper(env, net, frozen)
     if ckpt_dir:
         # checkpoint surgery: pull the frozen decoder/prior + input stats
         # out of the distill checkpoint (≙ load_z_decoder/load_z_encoder,
@@ -441,19 +462,7 @@ def main(argv=None):
     save_checkpoint(ckpt_dir, int(cfg["max_epochs"]), strip_env_state(ts))
 
 
-def run_eval(cfg, env, agent, ts):
-    from pulse_tpu.eval import im_eval
-
-    # eval contract: early termination off so mid-clip auto-resets don't
-    # pollute the MPJPE accumulation (failure is latched separately)
-    if getattr(env.config, "enable_early_termination", False):
-        import dataclasses as _dc
-
-        env = type(env)(
-            env.model, env.motion,
-            _dc.replace(env.config, enable_early_termination=False),
-        )
-
+def _policy_fn(agent, ts):
     params = ts.ppo.params if hasattr(ts, "ppo") else ts.params
     obs_rms = ts.ppo.obs_rms if hasattr(ts, "ppo") else ts.obs_rms
     ppo_agent = agent.ppo if hasattr(agent, "ppo") else agent
@@ -463,6 +472,42 @@ def run_eval(cfg, env, agent, ts):
             {"params": params}, obs_rms.normalize(obs)
         )
         return jnp.clip(mu, -1.0, 1.0)
+
+    return policy_fn
+
+
+def run_eval(cfg, env, agent, ts):
+    """test=true: imitation envs get the im_eval motion sweep (success rate
+    + MPJPE, ≙ im_amp_players.py); task envs — including Z-wrapped ones —
+    get the episode-return player (≙ amp_players.py run loop)."""
+    import dataclasses as _dc
+
+    from pulse_tpu.env.humanoid_z import ZActionWrapper
+    from pulse_tpu.eval import im_eval
+    from pulse_tpu.eval.task_eval import task_eval
+
+    policy_fn = _policy_fn(agent, ts)
+
+    if not hasattr(env, "reset_to"):
+        # downstream task env (possibly Z-wrapped): episode-return eval
+        result = task_eval(env, policy_fn, batch_size=int(cfg["num_envs"]))
+        print(json.dumps(_dc.asdict(result), indent=2))
+        return result
+
+    # imitation env: early termination off so mid-clip auto-resets don't
+    # pollute the MPJPE accumulation (failure is latched separately)
+    if getattr(env.config, "enable_early_termination", False):
+        if isinstance(env, ZActionWrapper):
+            inner = type(env.env)(
+                env.env.model, env.env.motion,
+                _dc.replace(env.env.config, enable_early_termination=False),
+            )
+            env = ZActionWrapper(inner, env.network, env.frozen)
+        else:
+            env = type(env)(
+                env.model, env.motion,
+                _dc.replace(env.config, enable_early_termination=False),
+            )
 
     result = im_eval(env, policy_fn, batch_size=int(cfg["num_envs"]))
     print(json.dumps(dataclass_to_dict(result), indent=2))

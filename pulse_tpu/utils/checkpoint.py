@@ -259,6 +259,36 @@ def import_mcp_composer(sd: dict, prefix: str = "a2c_network.composer") -> dict:
     return {"MLP_0": stack, "Dense_0": head}
 
 
+def _stack_units(sd: dict, prefix: str) -> list[int]:
+    idxs = sorted(
+        int(m.group(1))
+        for k in sd
+        if (m := re.fullmatch(re.escape(prefix) + r"\.(\d+)\.weight", k))
+    )
+    return [np.asarray(sd[f"{prefix}.{i}.weight"]).shape[0] for i in idxs]
+
+
+def pulse_vae_spec_from_torch(sd: dict) -> dict:
+    """Infer the PulseVAE constructor kwargs from a reference checkpoint's
+    weight shapes, so arbitrary reference network sizes import without
+    hand-matching YAMLs."""
+    latent_dim = np.asarray(sd["a2c_network.z_mu.weight"]).shape[0]
+    action_dim = np.asarray(sd["a2c_network.mu.weight"]).shape[0]
+    self_obs_dim = (
+        np.asarray(sd["a2c_network.actor_mlp.0.weight"]).shape[1] - latent_dim
+    )
+    return {
+        "action_dim": int(action_dim),
+        "latent_dim": int(latent_dim),
+        "self_obs_dim": int(self_obs_dim),
+        # the z_mlp's final Linear is the latent*5 bottleneck, not a unit
+        "encoder_units": tuple(_stack_units(sd, "a2c_network.z_mlp")[:-1]),
+        "prior_units": tuple(_stack_units(sd, "a2c_network.z_prior")),
+        "decoder_units": tuple(_stack_units(sd, "a2c_network.actor_mlp")),
+        "critic_units": tuple(_stack_units(sd, "a2c_network.critic_mlp")),
+    }
+
+
 def import_running_mean_std(sd: dict, prefix: str = "running_mean_std"):
     """rl-games RunningMeanStd buffers -> our RunningMeanStd pytree."""
     from pulse_tpu.learning.running_norm import RunningMeanStd
