@@ -94,6 +94,11 @@ class AMPState:
     amp_rms: RunningMeanStd
     demo_buffer: RingBuffer
     replay_buffer: RingBuffer
+    # dynamic reward mix (device scalars so the getup schedule can flip them
+    # between epochs without retracing — ≙ amp_agent.py:568-575 setting
+    # _task_reward_w/_disc_reward_w from the getup schedule)
+    task_reward_w: jax.Array = None
+    disc_reward_w: jax.Array = None
 
 
 class AMPModule:
@@ -116,6 +121,8 @@ class AMPModule:
             amp_rms=RunningMeanStd.create(dim),
             demo_buffer=RingBuffer.create(cfg.amp_buffer_size, dim),
             replay_buffer=RingBuffer.create(cfg.amp_buffer_size, dim),
+            task_reward_w=jnp.asarray(cfg.task_reward_w),
+            disc_reward_w=jnp.asarray(cfg.disc_reward_w),
         )
         demo = self.fetch_demo(k_demo, cfg.amp_buffer_size // 4)
         return state.replace(demo_buffer=state.demo_buffer.push(demo))
@@ -201,7 +208,17 @@ class AMPModule:
         prob = jax.nn.sigmoid(logits)
         return -jnp.log(jnp.maximum(1.0 - prob, 1e-4)) * self.config.disc_reward_scale
 
-    def combine_rewards(self, task_r: jax.Array, disc_r: jax.Array) -> jax.Array:
+    def combine_rewards(
+        self, task_r: jax.Array, disc_r: jax.Array, amp_state: AMPState | None = None
+    ) -> jax.Array:
+        """task/style mix (≙ _combine_rewards, amp_agent.py:1011-1016).
+        With an AMPState, the state's dynamic weights apply (getup schedule
+        flips them between epochs)."""
+        if amp_state is not None and amp_state.task_reward_w is not None:
+            return (
+                amp_state.task_reward_w * task_r
+                + amp_state.disc_reward_w * disc_r
+            )
         cfg = self.config
         return cfg.task_reward_w * task_r + cfg.disc_reward_w * disc_r
 

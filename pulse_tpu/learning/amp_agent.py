@@ -4,6 +4,20 @@
 rollout's task rewards are mixed with discriminator style rewards, the PPO
 update runs on the mixture, and the discriminator takes its own gradient
 step from rollout/replay/demo batches — all inside a single XLA program.
+
+Parity machinery beyond the core loop:
+  - recurrent rollouts: the RNN/BPTT path (≙ play_steps_rnn,
+    amp_agent.py:192-339) reaches AMP — round 1 hardcoded the feedforward
+    rollout;
+  - pre_epoch (host-side, ≙ amp_agent.py:557-579): getup reward-weight
+    schedule (task_w 0 / disc_w 1 until getup_update_epoch, then 0.5/0.5;
+    the env's fall-init curriculum flips with it) and periodic shape
+    resampling every shape_resampling_interval epochs;
+  - the epoch-start frozen obs-stats trick lives in PPOAgent
+    (temp_running_mean, ≙ amp_agent.py:578-603);
+  - joint RL+kin mode (train_epoch_joint, ≙ amp_agent.py:637-654 +
+    _optimize_kin): a distillation (BC+KLD) gradient step runs alongside
+    the RL update in the same epoch.
 """
 
 from __future__ import annotations
@@ -24,27 +38,77 @@ class AMPTrainState:
 
 class AMPAgent:
     def __init__(self, env, ppo_config: PPOConfig | None = None,
-                 amp_config: AMPConfig | None = None, network=None):
+                 amp_config: AMPConfig | None = None, network=None,
+                 getup_update_epoch: int = 0,
+                 shape_resampling_interval: int = 0):
         self.ppo = PPOAgent(env, ppo_config, network)
         self.amp = AMPModule(env, amp_config)
         self.env = env
+        # schedule knobs (0 = off); ≙ getup_udpate_epoch and
+        # shape_resampling_interval on the reference env
+        self.getup_update_epoch = int(getup_update_epoch)
+        self.shape_resampling_interval = int(shape_resampling_interval)
 
     def init(self, key: jax.Array) -> AMPTrainState:
         k1, k2 = jax.random.split(key)
-        return AMPTrainState(ppo=self.ppo.init(k1), amp=self.amp.init(k2))
+        ts = AMPTrainState(ppo=self.ppo.init(k1), amp=self.amp.init(k2))
+        if self.getup_update_epoch:
+            # pure style reward while the getup curriculum runs
+            ts = ts.replace(
+                amp=ts.amp.replace(
+                    task_reward_w=jnp.zeros(()), disc_reward_w=jnp.ones(())
+                )
+            )
+        return ts
+
+    # ------------------------------------------------------------------ #
+    # host-side epoch schedule (≙ pre_epoch, amp_agent.py:557-579)
+    # ------------------------------------------------------------------ #
+
+    def pre_epoch(self, ts: AMPTrainState, epoch: int) -> AMPTrainState:
+        """Call between jitted epochs. Reward-weight flips are device-scalar
+        state updates (no retrace); a shape resample rebatches the env model
+        (one retrace per interval, like the reference's env rebuild)."""
+        self.needs_retrace = False
+        if self.getup_update_epoch:
+            past = epoch > self.getup_update_epoch
+            ts = ts.replace(
+                amp=ts.amp.replace(
+                    task_reward_w=jnp.asarray(0.5 if past else 0.0),
+                    disc_reward_w=jnp.asarray(0.5 if past else 1.0),
+                )
+            )
+            if hasattr(self.env, "set_getup_phase"):
+                self.needs_retrace |= self.env.set_getup_phase(past)
+        if (
+            self.shape_resampling_interval
+            and epoch > 1
+            and epoch % self.shape_resampling_interval == 1
+            and getattr(self.env, "batched_model", None) is not None
+        ):
+            self.env.enable_shape_variation(
+                jax.random.fold_in(jax.random.PRNGKey(17), epoch),
+                int(self.ppo.config.num_envs),
+            )
+            self.needs_retrace = True
+        return ts
+
+    # ------------------------------------------------------------------ #
 
     def train_epoch(self, ts: AMPTrainState):
-        ppo_ts, traj, last_value = self.ppo.rollout(ts.ppo)
+        roll = self.ppo.rollout_rnn if self.ppo.recurrent else self.ppo.rollout
+        ppo_ts, traj, last_value = roll(ts.ppo)
 
         disc_r = self.amp.disc_reward(
             ts.amp, traj.amp_obs.reshape(-1, traj.amp_obs.shape[-1])
         ).reshape(traj.rewards.shape)
         task_r = traj.rewards
-        mixed = self.amp.combine_rewards(task_r, disc_r)
+        mixed = self.amp.combine_rewards(task_r, disc_r, ts.amp)
         traj = traj.replace(rewards=mixed)
 
         advantages, returns = self.ppo.compute_gae(traj, last_value)
-        ppo_ts, ppo_metrics = self.ppo.update(ppo_ts, traj, advantages, returns)
+        upd = self.ppo.update_rnn if self.ppo.recurrent else self.ppo.update
+        ppo_ts, ppo_metrics = upd(ppo_ts, traj, advantages, returns)
 
         key, k_disc = jax.random.split(ppo_ts.key)
         amp_state, disc_metrics = self.amp.update(ts.amp, k_disc, traj.amp_obs)
@@ -56,3 +120,38 @@ class AMPAgent:
         metrics["task_reward_mean"] = task_r.mean()
         metrics["disc_reward_mean"] = disc_r.mean()
         return AMPTrainState(ppo=ppo_ts, amp=amp_state), metrics
+
+
+@struct.dataclass
+class JointTrainState:
+    """AMP RL state + distillation state sharing one env rollout."""
+
+    amp: AMPTrainState
+    distill: "object"  # DistillState
+
+
+class JointAMPDistillAgent:
+    """Joint RL + kin gradient mode (≙ amp_agent.py:637-654 when
+    only_kin_loss is False but save_kin_info is True): each epoch runs the
+    AMP/PPO update AND a behavior-cloning + KLD distillation step on the
+    same rollout's observations."""
+
+    def __init__(self, amp_agent: AMPAgent, distill_agent):
+        self.amp_agent = amp_agent
+        self.distill = distill_agent
+
+    def init(self, key: jax.Array) -> JointTrainState:
+        k1, k2 = jax.random.split(key)
+        return JointTrainState(
+            amp=self.amp_agent.init(k1), distill=self.distill.init(k2)
+        )
+
+    def pre_epoch(self, ts: JointTrainState, epoch: int) -> JointTrainState:
+        return ts.replace(amp=self.amp_agent.pre_epoch(ts.amp, epoch))
+
+    def train_epoch(self, ts: JointTrainState):
+        amp_ts, rl_metrics = self.amp_agent.train_epoch(ts.amp)
+        ds, kin_metrics = self.distill.train_epoch(ts.distill)
+        metrics = dict(rl_metrics)
+        metrics.update({f"kin_{k}": v for k, v in kin_metrics.items()})
+        return JointTrainState(amp=amp_ts, distill=ds), metrics

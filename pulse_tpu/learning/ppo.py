@@ -54,6 +54,11 @@ class PPOConfig:
     # BPTT sequence length for recurrent networks (≙ seq_len / seq_length in
     # the rl-games RNN path, amp_agent.py:40-44); horizon must divide by it
     seq_len: int = 4
+    # gradient steps normalize obs with the stats FROZEN at epoch start while
+    # the running stats still accumulate the rollout — the reference's
+    # temp_running_mean trick (amp_agent.py:578-603, default on,
+    # humanoid.py:105), keeping the loss's obs identical to the rollout's
+    temp_running_mean: bool = True
 
 
 @struct.dataclass
@@ -347,6 +352,7 @@ class PPOAgent:
             if cfg.normalize_input
             else ts.obs_rms
         )
+        loss_obs_rms = ts.obs_rms if cfg.temp_running_mean else obs_rms
         value_rms = (
             ts.value_rms.update(returns.reshape(T * B, 1))
             if cfg.normalize_value
@@ -387,7 +393,7 @@ class PPOAgent:
                 )
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_rnn, has_aux=True
-                )(params, batch, obs_rms, value_rms)
+                )(params, batch, loss_obs_rms, value_rms)
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
@@ -499,6 +505,7 @@ class PPOAgent:
             "returns": returns.reshape(N),
         }
         obs_rms = ts.obs_rms.update(flat["obs"]) if cfg.normalize_input else ts.obs_rms
+        loss_obs_rms = ts.obs_rms if cfg.temp_running_mean else obs_rms
         value_rms = (
             ts.value_rms.update(returns.reshape(N, 1))
             if cfg.normalize_value
@@ -524,7 +531,7 @@ class PPOAgent:
                 )
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss, has_aux=True
-                )(params, batch, obs_rms, value_rms)
+                )(params, batch, loss_obs_rms, value_rms)
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics

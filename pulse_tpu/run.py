@@ -289,7 +289,12 @@ def build_agent_from_cfg(cfg, env):
             task_reward_w=float(l["task_reward_w"]),
             disc_reward_w=float(l["disc_reward_w"]),
         )
-        return AMPAgent(env, ppo_cfg, amp_cfg, net)
+        e = cfg["env"]
+        return AMPAgent(
+            env, ppo_cfg, amp_cfg, net,
+            getup_update_epoch=int(e.get("getup_update_epoch", 0)),
+            shape_resampling_interval=int(e.get("shape_resampling_interval", 0)),
+        )
     if kind == "distill":
         dc = DistillConfig(
             num_envs=num_envs,
@@ -419,6 +424,13 @@ def main(argv=None):
     t_start = time.time()
     steps_per_epoch = int(cfg["num_envs"]) * int(cfg["learning"]["horizon_length"])
     for epoch in range(epoch0, int(cfg["max_epochs"])):
+        # host-side epoch schedule (getup reward weights, shape resampling —
+        # ≙ pre_epoch, amp_agent.py:557-579); re-jit when it changed trace
+        # constants (env config flip / model rebatch)
+        if hasattr(agent, "pre_epoch"):
+            ts = agent.pre_epoch(ts, epoch)
+            if getattr(agent, "needs_retrace", False):
+                train = jax.jit(agent.train_epoch, donate_argnums=0)
         ts, metrics = train(ts)
         if epoch % int(cfg["log_frequency"]) == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
