@@ -16,16 +16,25 @@ import jax.numpy as jnp
 from pulse_tpu.env import kernels
 from pulse_tpu.env.humanoid_task import HumanoidTrajEnv, TaskConfig, TaskEnvState
 from pulse_tpu.env.terrain import (
+    GeneratedTerrain,
     TerrainConfig,
-    generate_heightfield,
+    fov_height_points,
     height_map_points,
+    square_fov_height_points,
+    square_height_points,
     terrain_height,
 )
 from pulse_tpu.ops import quat as q
 
 
 class HumanoidPedestrianTerrainEnv(HumanoidTrajEnv):
-    """Trajectory following over a heightfield with height-map obs."""
+    """Trajectory following over a heightfield with height-map obs.
+
+    `sensor_mode` selects the height-sample layout (≙ the reference's
+    square / square_fov / fov point initializers, pedestrian_terrain.py:
+    591-689): "grid" (centered square grid, the round-1 default), "square"
+    (sensor_extent x sensor_res), "square_fov" (forward 2x2 m), "fov"
+    (exponential fan)."""
 
     def __init__(
         self,
@@ -36,22 +45,21 @@ class HumanoidPedestrianTerrainEnv(HumanoidTrajEnv):
         terrain_seed: int = 0,
         height_map_shape: tuple[int, int] = (16, 16),
         height_map_spacing: float = 0.25,
+        sensor_mode: str = "grid",
         mesh_terrain=None,
     ):
         tcfg = terrain_config or TerrainConfig()
         if mesh_terrain is not None:
             # scanned-scene mode (≙ MeshTerrain path, pedestrian_terrain.py:975):
             # use the rasterized heightfield; spawns come from the walkable map
-            heights = np.asarray(mesh_terrain.heights)
-            cell = mesh_terrain.cell_size
-            origin = np.asarray(mesh_terrain.origin, np.float32)
+            self.terrain = mesh_terrain
         else:
-            heights = generate_heightfield(tcfg, seed=terrain_seed)
-            cell = tcfg.cell_size
-            origin = np.asarray(
-                [-heights.shape[0] * cell / 2, -heights.shape[1] * cell / 2],
-                np.float32,
-            )
+            # curriculum heightfield + walkable-location table
+            # (≙ Terrain + sample_valid_locations, pedestrian_terrain.py:1114-1191)
+            self.terrain = GeneratedTerrain.generate(tcfg, seed=terrain_seed)
+        heights = np.asarray(self.terrain.heights)
+        cell = self.terrain.cell_size
+        origin = np.asarray(self.terrain.origin, np.float32)
         extent_x = heights.shape[0] * cell
         extent_y = heights.shape[1] * cell
         model = model.with_terrain(heights, cell, origin)
@@ -59,12 +67,31 @@ class HumanoidPedestrianTerrainEnv(HumanoidTrajEnv):
         self.terrain_cfg = tcfg
         self.mesh_terrain = mesh_terrain
         self._extent = (extent_x, extent_y)
-        self._hm_points = jnp.asarray(
-            height_map_points(*height_map_shape, spacing=height_map_spacing)
-        )
-        self.height_map_dim = height_map_shape[0] * height_map_shape[1]
+        self.sensor_mode = sensor_mode
+        if sensor_mode == "grid":
+            pts = height_map_points(*height_map_shape, spacing=height_map_spacing)
+            self._hm_grid_shape = height_map_shape
+        elif sensor_mode == "square":
+            pts = square_height_points()
+            n = int(np.sqrt(pts.shape[0]))
+            self._hm_grid_shape = (n, n)
+        elif sensor_mode == "square_fov":
+            pts = square_fov_height_points()
+            self._hm_grid_shape = (20, 20)
+        elif sensor_mode == "fov":
+            pts = fov_height_points()
+            self._hm_grid_shape = None  # fan layout: no square grid
+        else:
+            raise ValueError(f"unknown sensor_mode {sensor_mode!r}")
+        self._hm_points = jnp.asarray(pts)
+        self.height_map_dim = pts.shape[0]
         self.task_obs_dim = 2 * self.config.traj_num_samples + self.height_map_dim
         self.obs_dim = self.self_obs_dim + self.task_obs_dim
+        # index permutation for the mirror-augmented obs (flip across the
+        # heading axis): nearest sample point with y negated
+        flipped = pts * np.asarray([1.0, -1.0], np.float32)
+        d = np.linalg.norm(pts[None, :, :] - flipped[:, None, :], axis=-1)
+        self._hm_flip_perm = jnp.asarray(np.argmin(d, axis=1))
 
     # ------------------------------------------------------------------ #
 
@@ -78,21 +105,12 @@ class HumanoidPedestrianTerrainEnv(HumanoidTrajEnv):
 
     def reset_one(self, key):
         state = super().reset_one(key)
-        # scatter spawn over the field and lift onto the local ground
-        k1, k2 = jax.random.split(jax.random.fold_in(state.key, 3))
+        # spawn on a random WALKABLE cell (≙ sample_valid_locations,
+        # pedestrian_terrain.py:1176-1191 — both generated-curriculum and
+        # scanned terrains carry a walkable table) and lift onto the ground
+        k1, _ = jax.random.split(jax.random.fold_in(state.key, 3))
         ph = state.physics
-        if self.mesh_terrain is not None:
-            # spawn only on walkable scanned-scene cells
-            new_xy = self.mesh_terrain.sample_valid_locations(k1, 1)[0]
-        else:
-            ex, ey = self._extent
-            offset_xy = jnp.stack(
-                [
-                    jax.random.uniform(k1, (), minval=-0.4 * ex, maxval=0.4 * ex),
-                    jax.random.uniform(k2, (), minval=-0.4 * ey, maxval=0.4 * ey),
-                ]
-            )
-            new_xy = ph.root_pos[0:2] + offset_xy
+        new_xy = self.terrain.sample_valid_locations(k1, 1)[0]
         dz = self._ground_z(new_xy)
         root_pos = jnp.concatenate([new_xy, ph.root_pos[2:3] + dz])
         shift = root_pos - ph.root_pos
@@ -122,6 +140,21 @@ class HumanoidPedestrianTerrainEnv(HumanoidTrajEnv):
     def _task_obs(self, state):
         traj_obs = super()._task_obs(state)
         return jnp.concatenate([traj_obs, self._height_map_obs(state)])
+
+    def flip_task_obs(self, task_obs: jax.Array) -> jax.Array:
+        """Mirror the task obs across the heading axis — the observation-side
+        companion of motion/mirror.py for symmetry-augmented training
+        (≙ _compute_flip_task_obs, pedestrian_terrain.py:442-477: negate the
+        heading-local y of the trajectory samples, flip the height map).
+        Works batched or single ([..., task_obs_dim])."""
+        n_traj = 2 * self.config.traj_num_samples
+        traj = task_obs[..., :n_traj].reshape(*task_obs.shape[:-1], -1, 2)
+        traj = traj * jnp.asarray([1.0, -1.0])
+        hm = task_obs[..., n_traj:]
+        hm = hm[..., self._hm_flip_perm]
+        return jnp.concatenate(
+            [traj.reshape(*task_obs.shape[:-1], -1), hm], axis=-1
+        )
 
     def _task_reward(self, prev_state, state):
         # xy trajectory reward is unchanged; terrain supplies the challenge

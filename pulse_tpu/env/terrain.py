@@ -252,3 +252,117 @@ def height_map_points(num_x: int = 16, num_y: int = 16, spacing: float = 0.25) -
     ys = (np.arange(num_y) - (num_y - 1) / 2) * spacing
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
+
+
+def center_height_points() -> np.ndarray:
+    """3x3 patch under the root (≙ init_center_height_points,
+    humanoid_pedestrian_terrain.py:591-606). [9, 2]."""
+    y = np.linspace(-0.2, 0.2, 3)
+    x = np.linspace(-0.1, 0.1, 3)
+    gx, gy = np.meshgrid(x, y, indexing="ij")
+    return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
+
+
+def square_height_points(extent: float = 2.0, res: int = 32) -> np.ndarray:
+    """Square sensor grid (≙ init_square_height_points,
+    humanoid_pedestrian_terrain.py:608-626: sensor_extent x sensor_res).
+    [res*res, 2]."""
+    xs = np.linspace(-extent, extent, res)
+    ys = np.linspace(-extent, extent, res)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
+
+
+def square_fov_height_points() -> np.ndarray:
+    """Forward-facing 2m x 2m square (≙ init_square_fov_height_points,
+    humanoid_pedestrian_terrain.py:628-642). [400, 2]."""
+    y = np.linspace(-1, 1, 20)
+    x = np.linspace(-0.02, 1.98, 20)
+    gx, gy = np.meshgrid(x, y, indexing="ij")
+    return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
+
+
+def root_points() -> np.ndarray:
+    """Dense patch under the torso used for ground-height averaging
+    (≙ init_root_points, humanoid_pedestrian_terrain.py:644-661). [200, 2]."""
+    y = np.linspace(-0.5, 0.5, 20)
+    x = np.linspace(-0.25, 0.25, 10)
+    gx, gy = np.meshgrid(x, y, indexing="ij")
+    return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
+
+
+def fov_height_points() -> np.ndarray:
+    """Fan-shaped forward field-of-view sample layout, exponentially denser
+    near the body and the heading axis (≙ init_fov_height_points,
+    humanoid_pedestrian_terrain.py:663-689 — the exact radii/angle spacing).
+    [450, 2]."""
+    rs = np.exp(np.arange(0.2, 2, 0.1)) - 0.9
+    rs = rs / rs.max() * 2
+    max_angle = 110
+    phi = np.exp(np.linspace(0.1, 1.5, 12)) - 1
+    phi = phi / phi.max() * max_angle
+    phi = np.concatenate([-phi[::-1], [0], phi]) * np.pi / 180
+    xs, ys = [], []
+    for r in rs:
+        xs.append(r * np.cos(phi))
+        ys.append(r * np.sin(phi))
+    xs, ys = np.concatenate(xs), np.concatenate(ys)
+    return np.stack([xs, ys], axis=-1).astype(np.float32)
+
+
+def walkable_map_from_heightfield(
+    heights: np.ndarray, cell_size: float, max_slope: float = 0.35,
+    border_cells: int = 4,
+) -> np.ndarray:
+    """1 = walkable. Steep cells (slope above threshold) and a border apron
+    are excluded (≙ Terrain.walkable_field_raw + the border subset filter,
+    humanoid_pedestrian_terrain.py:1146-1172)."""
+    gx, gy = np.gradient(np.asarray(heights, np.float64), cell_size)
+    walkable = (np.hypot(gx, gy) <= max_slope).astype(np.uint8)
+    walkable[:border_cells] = 0
+    walkable[-border_cells:] = 0
+    walkable[:, :border_cells] = 0
+    walkable[:, -border_cells:] = 0
+    return walkable
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratedTerrain:
+    """Curriculum heightfield + its walkable-location table (the generated-
+    terrain analogue of MeshTerrain; ≙ Terrain.sample_valid_locations,
+    humanoid_pedestrian_terrain.py:1176-1191)."""
+
+    heights: jax.Array
+    walkable_xy: jax.Array
+    cell_size: float
+    origin: jax.Array
+
+    @classmethod
+    def generate(
+        cls, cfg: TerrainConfig, seed: int = 0, origin: tuple | None = None
+    ) -> "GeneratedTerrain":
+        hm = generate_heightfield(cfg, seed)
+        if origin is None:
+            origin = (
+                -hm.shape[0] * cfg.cell_size / 2,
+                -hm.shape[1] * cfg.cell_size / 2,
+            )
+        wm = walkable_map_from_heightfield(hm, cfg.cell_size, cfg.max_slope)
+        cx, cy = np.where(wm == 1)
+        xy = np.stack(
+            [origin[0] + cx * cfg.cell_size, origin[1] + cy * cfg.cell_size],
+            axis=-1,
+        ).astype(np.float32)
+        return cls(
+            heights=jnp.asarray(hm),
+            walkable_xy=jnp.asarray(xy),
+            cell_size=float(cfg.cell_size),
+            origin=jnp.asarray(origin, jnp.float32),
+        )
+
+    def sample_valid_locations(self, key: jax.Array, n: int) -> jax.Array:
+        idx = jax.random.randint(key, (n,), 0, self.walkable_xy.shape[0])
+        return self.walkable_xy[idx]
+
+    def height_at(self, xy: jax.Array) -> jax.Array:
+        return terrain_height(self.heights, self.cell_size, self.origin, xy)

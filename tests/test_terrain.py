@@ -14,6 +14,7 @@ from pulse_tpu.env.terrain import (
     terrain_normal,
 )
 from pulse_tpu.env.humanoid_terrain import HumanoidPedestrianTerrainEnv
+from pulse_tpu.env.humanoid_task import TaskConfig
 from pulse_tpu.motion import build_motion_data, make_synthetic_clips
 from pulse_tpu.physics import PhysicsConfig, build_model
 from pulse_tpu.physics.state import default_state, dof_pos_from_state
@@ -136,3 +137,90 @@ class TestMeshTerrain:
         assert np.all(np.isfinite(np.asarray(state.obs)))
         xy = np.asarray(state.physics.root_pos[:, :2])
         assert (xy >= -10.0).all() and (xy <= 10.0).all()
+
+
+class TestTerrainDepth:
+    """Round-1 VERDICT missing #6: sensor layouts, walkable curriculum,
+    flip-augmented obs."""
+
+    def test_sensor_layouts(self):
+        from pulse_tpu.env.terrain import (
+            center_height_points,
+            fov_height_points,
+            root_points,
+            square_fov_height_points,
+            square_height_points,
+        )
+
+        assert center_height_points().shape == (9, 2)
+        assert square_height_points(extent=2.0, res=32).shape == (32 * 32, 2)
+        sq = square_fov_height_points()
+        assert sq.shape == (400, 2)
+        assert sq[:, 0].min() == pytest.approx(-0.02)
+        assert sq[:, 0].max() == pytest.approx(1.98)
+        fov = fov_height_points()
+        # 18 radii x 25 angles, forward-facing fan within 110 degrees
+        assert fov.shape == (450, 2)
+        ang = np.abs(np.degrees(np.arctan2(fov[:, 1], fov[:, 0])))
+        assert ang.max() <= 110.0 + 1e-4
+        r = np.linalg.norm(fov, axis=-1)
+        assert r.max() == pytest.approx(2.0, abs=1e-5)
+        assert root_points().shape == (200, 2)
+
+    def test_walkable_curriculum(self):
+        from pulse_tpu.env.terrain import GeneratedTerrain, TerrainConfig
+
+        terr = GeneratedTerrain.generate(
+            TerrainConfig(num_tiles_x=4, num_tiles_y=4), seed=0
+        )
+        assert terr.walkable_xy.shape[0] > 100
+        key = jax.random.PRNGKey(0)
+        locs = terr.sample_valid_locations(key, 16)
+        assert locs.shape == (16, 2)
+        # every sampled spawn lies on a low-slope cell
+        from pulse_tpu.env.terrain import terrain_height
+
+        eps = terr.cell_size
+        for d in (jnp.asarray([eps, 0.0]), jnp.asarray([0.0, eps])):
+            slope = jnp.abs(
+                terr.height_at(locs + d) - terr.height_at(locs - d)
+            ) / (2 * eps)
+            assert float(slope.max()) < 0.8
+
+    @pytest.mark.parametrize("mode,dim", [("square_fov", 400), ("fov", 450)])
+    def test_sensor_modes_env(self, mode, dim):
+        spec = load_smpl_humanoid()
+        model = build_model(spec, PhysicsConfig())
+        clips = make_synthetic_clips(spec.skeleton, num_clips=1, seconds=1.0)
+        motion = build_motion_data(spec.skeleton, clips)
+        env = HumanoidPedestrianTerrainEnv(
+            model, motion, TaskConfig(episode_length=20), sensor_mode=mode
+        )
+        assert env.height_map_dim == dim
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        state = env.reset(keys)
+        assert state.obs.shape == (2, env.obs_dim)
+        assert bool(jnp.all(jnp.isfinite(state.obs)))
+
+    def test_flip_task_obs(self):
+        spec = load_smpl_humanoid()
+        model = build_model(spec, PhysicsConfig())
+        clips = make_synthetic_clips(spec.skeleton, num_clips=1, seconds=1.0)
+        motion = build_motion_data(spec.skeleton, clips)
+        env = HumanoidPedestrianTerrainEnv(
+            model, motion, TaskConfig(episode_length=20)
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        state = env.reset(keys)
+        task_obs = state.obs[:, env.self_obs_dim :]
+        flipped = env.flip_task_obs(task_obs)
+        assert flipped.shape == task_obs.shape
+        # traj y components negate; double flip is identity
+        n_traj = 2 * env.config.traj_num_samples
+        np.testing.assert_allclose(
+            np.asarray(flipped[:, 1:n_traj:2]),
+            -np.asarray(task_obs[:, 1:n_traj:2]),
+            atol=1e-6,
+        )
+        back = env.flip_task_obs(flipped)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(task_obs), atol=1e-6)
