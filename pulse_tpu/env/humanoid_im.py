@@ -142,6 +142,11 @@ class HumanoidImEnv:
     def __init__(self, model: Model, motion: MotionData, config: EnvConfig | None = None):
         self.model = model
         self.batched_model = None   # set by enable_shape_variation
+        # DP mesh for the shard_map'd Pallas hot path (set by the trainer /
+        # dryrun when envs are sharded over devices); interpret=True forces
+        # the kernel's interpreter so the sharded path is testable on CPU
+        self.mesh = None
+        self._pallas_interpret = False
         self.motion = motion
         self.config = config or EnvConfig()
         if self.config.control_mode not in ("isaac_pd", "pd", "force"):
@@ -435,7 +440,7 @@ class HumanoidImEnv:
             so = jnp.concatenate([so, extra])
         return so
 
-    def _observe(self, state: EnvState) -> jax.Array:
+    def _observe(self, state: EnvState, far: jax.Array | None = None) -> jax.Array:
         cfg = self.config
         ph = state.physics
         if cfg.self_obs_v == 2:
@@ -480,7 +485,8 @@ class HumanoidImEnv:
                 ref["body_vel"][None, :, 0], ref["body_ang_vel"][None, :, 0],
             )[0]
         if cfg.zero_out_far:
-            far = self._far_from_ref(state)
+            if far is None:
+                far = self._far_from_ref(state)
             # point goal: heading-local vector to the reference root
             heading_inv = q_ops.calc_heading_quat_inv(ph.root_rot)
             goal = q_ops.quat_rotate(
@@ -593,7 +599,11 @@ class HumanoidImEnv:
                 tau[None], dof_vel[None], cfg.power_coefficient
             )[0]
 
+        far = None
         if cfg.zero_out_far:
+            # computed ONCE per step and threaded through termination and
+            # observation (was recomputed up to 3x, each a full
+            # get_motion_state gather)
             far = self._far_from_ref(state)
             d = jnp.linalg.norm(ref["root_pos"][0:2] - physics.root_pos[0:2])
             loc_reward = jnp.exp(-1.0 * d * d)  # compute_location_reward scale
@@ -610,7 +620,6 @@ class HumanoidImEnv:
         reset, terminate = self._termination(state, ref, pass_time)
         if cfg.zero_out_far:
             # in far-goal mode the imitation-distance termination is off
-            far = self._far_from_ref(state)
             terminate = terminate & ~far
             reset = pass_time | terminate
 
@@ -629,7 +638,7 @@ class HumanoidImEnv:
                 .at[0]
                 .set(self._self_obs_single(stepped))
             )
-        obs = self._observe(stepped)
+        obs = self._observe(stepped, far)
         if cfg.obs_noise_std > 0:
             k_noise, _ = jax.random.split(jax.random.fold_in(state.key, 17))
             obs = obs + cfg.obs_noise_std * jax.random.normal(k_noise, obs.shape)
@@ -682,17 +691,29 @@ class HumanoidImEnv:
         if (
             self._pallas_eligible
             and self.batched_model is None
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1  # GSPMD can't shard pallas_call;
-            # multi-chip keeps the vmap path until step is shard_map-wrapped
-            and B % 1024 == 0
+            and (jax.default_backend() == "tpu" or self._pallas_interpret)
+            and (B % 1024 == 0 or self.mesh is not None)
         ):
             # one kernel for all substeps of the whole batch (launch/copy
-            # bound otherwise — see physics/substep_pallas.py)
-            from pulse_tpu.physics.substep_pallas import pallas_physics_step
+            # bound otherwise — see physics/substep_pallas.py). Under a DP
+            # mesh, shard_map runs the kernel per device shard (GSPMD can't
+            # partition a pallas_call by itself).
+            from pulse_tpu.physics.substep_pallas import (
+                pallas_physics_step,
+                sharded_pallas_physics_step,
+            )
 
             pd_target = self.action_to_pd_target(actions)
-            physics = pallas_physics_step(self.model, states.physics, pd_target)
+            if self.mesh is not None:
+                physics = sharded_pallas_physics_step(
+                    self.model, self.mesh, states.physics, pd_target,
+                    interpret=self._pallas_interpret,
+                )
+            else:
+                physics = pallas_physics_step(
+                    self.model, states.physics, pd_target,
+                    interpret=self._pallas_interpret,
+                )
             return jax.vmap(
                 lambda s, p, t: self._finish_step(s, p, t, self.model)
             )(states, physics, pd_target)

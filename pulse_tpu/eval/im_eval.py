@@ -36,6 +36,33 @@ class EvalResult:
     failed_motions: np.ndarray  # [M] bool
 
 
+def _procrustes_err_jnp(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """Batched per-frame similarity-transform alignment error, in-graph.
+
+    pred/gt [..., J, 3] -> [...]. ≙ the p-mpjpe of the reference's
+    compute_metrics_lite (im_amp_players.py:147-157), computed for EVERY env
+    and frame instead of a host-side subsample."""
+    mu_p = pred.mean(axis=-2, keepdims=True)
+    mu_g = gt.mean(axis=-2, keepdims=True)
+    X = pred - mu_p
+    Y = gt - mu_g
+    H = jnp.einsum("...ji,...jk->...ik", X, Y)
+    U, S, Vt = jnp.linalg.svd(H, full_matrices=False)
+    d = jnp.sign(
+        jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", Vt.swapaxes(-1, -2), U.swapaxes(-1, -2)))
+    )
+    D = jnp.stack(
+        [jnp.ones_like(d), jnp.ones_like(d), d], axis=-1
+    )  # diag(1, 1, det-sign)
+    R = jnp.einsum(
+        "...ij,...j,...jk->...ik", Vt.swapaxes(-1, -2), D, U.swapaxes(-1, -2)
+    )
+    var_p = jnp.sum(X**2, axis=(-1, -2))
+    scale = jnp.sum(S * D, axis=-1) / jnp.maximum(var_p, 1e-9)
+    aligned = scale[..., None, None] * jnp.einsum("...jk,...ik->...ji", X, R) + mu_g
+    return jnp.linalg.norm(aligned - gt, axis=-1).mean(-1)
+
+
 def _procrustes_aligned_err(pred: np.ndarray, gt: np.ndarray) -> float:
     """Per-frame similarity-transform alignment (host, numpy). [N, J, 3]."""
     errs = []
@@ -108,74 +135,65 @@ def im_eval(
             acc_d = jnp.linalg.norm(sim_acc - ref_acc, axis=-1).mean(-1)
             af = active.astype(jnp.float32)
             af_acc = af * (i > 0)
+            # procrustes-aligned error for EVERY env/frame, in-graph
+            # (≙ compute_metrics_lite over all eval envs,
+            # im_amp_players.py:147-157 — round 1 subsampled the first env)
+            jpe_pa = (
+                _procrustes_err_jnp(body_pos, ref_pos)
+                if collect_pa
+                else jnp.zeros_like(jpe_g)
+            )
             sums = {
                 "g": sums["g"] + jpe_g * af,
                 "l": sums["l"] + jpe_l * af,
+                "pa": sums["pa"] + jpe_pa * af,
                 "vel": sums["vel"] + vel_d * af,
                 "acc": sums["acc"] + acc_d * af_acc,
                 "n": sums["n"] + af,
             }
             prev_vel = {"sim": state.physics.body_vel, "ref": ref["body_vel"]}
-            return (state, failed, sums, prev_vel), (body_pos, active)
+            return (state, failed, sums, prev_vel), None
 
         init = (
             state,
             jnp.zeros(B, bool),
-            {k: jnp.zeros(B) for k in ("g", "l", "vel", "acc", "n")},
+            {k: jnp.zeros(B) for k in ("g", "l", "pa", "vel", "acc", "n")},
             {
                 "sim": state.physics.body_vel,
                 "ref": state.physics.body_vel,
             },
         )
-        (state, failed, sums, _), (traj_pos, traj_active) = jax.lax.scan(
+        (state, failed, sums, _), _ = jax.lax.scan(
             scan_step, init, jnp.arange(max_steps)
         )
-        return failed, sums, traj_pos, traj_active
+        return failed, sums
 
     eval_batch_j = jax.jit(eval_batch)
 
     failed_all = np.zeros(M, bool)
-    g_sum = l_sum = vel_sum = acc_sum = n_sum = 0.0
-    pa_errs = []
+    g_sum = l_sum = pa_sum = vel_sum = acc_sum = n_sum = 0.0
     key = jax.random.PRNGKey(0)
     for start in range(0, M, batch_size):
         ids = np.arange(start, min(start + batch_size, M))
         pad = batch_size - len(ids)
         ids_p = np.concatenate([ids, np.full(pad, ids[-1])]) if pad else ids
         key, k = jax.random.split(key)
-        failed, sums, traj_pos, traj_active = eval_batch_j(jnp.asarray(ids_p), k)
+        failed, sums = eval_batch_j(jnp.asarray(ids_p), k)
         failed = np.asarray(failed)[: len(ids)]
         failed_all[ids] = failed
         g_sum += float(jnp.sum(sums["g"][: len(ids)]))
         l_sum += float(jnp.sum(sums["l"][: len(ids)]))
+        pa_sum += float(jnp.sum(sums["pa"][: len(ids)]))
         vel_sum += float(jnp.sum(sums["vel"][: len(ids)]))
         acc_sum += float(jnp.sum(sums["acc"][: len(ids)]))
         n_sum += float(jnp.sum(sums["n"][: len(ids)]))
-
-        if collect_pa:
-            # procrustes on a subsample of frames of the first env in batch
-            tp = np.asarray(traj_pos[:, 0])      # [T, J, 3]
-            ta = np.asarray(traj_active[:, 0])
-            times = np.arange(tp.shape[0]) * dt
-            from pulse_tpu.motion.motion_lib import get_motion_state as gms
-
-            ref = gms(
-                env.motion,
-                jnp.full(tp.shape[0], ids_p[0]),
-                jnp.asarray(times, jnp.float32),
-            )
-            sel = ta > 0
-            if sel.any():
-                pa_errs.append(
-                    _procrustes_aligned_err(tp[sel][::5], np.asarray(ref["rg_pos"])[sel][::5])
-                )
 
     n_sum = max(n_sum, 1.0)
     return EvalResult(
         success_rate=float(1.0 - failed_all.mean()),
         mpjpe_g=1000.0 * g_sum / n_sum,
         mpjpe_l=1000.0 * l_sum / n_sum,
-        mpjpe_pa=1000.0 * float(np.mean(pa_errs)) if pa_errs else 0.0,
+        mpjpe_pa=1000.0 * pa_sum / n_sum,
         vel_dist=1000.0 * vel_sum / n_sum,
         accel_dist=1000.0 * acc_sum / n_sum,
         failed_motions=failed_all,

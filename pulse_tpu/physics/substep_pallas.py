@@ -739,3 +739,57 @@ def pallas_physics_step(
         body_ang_vel=body[:, :, 10:13],
         contact_force=rows_out[:, n_state : n_state + 3 * J].reshape(B, J, 3),
     )
+
+
+def pallas_physics_step_padded(
+    model: Model,
+    state: PhysicsState,
+    pd_target: jax.Array,
+    *,
+    interpret: bool = False,
+) -> PhysicsState:
+    """pallas_physics_step for ANY batch size: pads the env axis up to the
+    next ENVS_PER_BLOCK multiple (replicating row 0 — the pad lanes are
+    dropped again) so the kernel composes with per-device shards whose size
+    isn't a tile multiple (e.g. 3072 envs / 8 chips = 384/chip)."""
+    B = pd_target.shape[0]
+    Bp = ((B + ENVS_PER_BLOCK - 1) // ENVS_PER_BLOCK) * ENVS_PER_BLOCK
+    if Bp == B:
+        return pallas_physics_step(model, state, pd_target, interpret=interpret)
+
+    def pad(x):
+        reps = jnp.broadcast_to(x[:1], (Bp - B,) + x.shape[1:])
+        return jnp.concatenate([x, reps], axis=0)
+
+    out = pallas_physics_step(
+        model, jax.tree.map(pad, state), pad(pd_target), interpret=interpret
+    )
+    return jax.tree.map(lambda x: x[:B], out)
+
+
+def sharded_pallas_physics_step(
+    model: Model,
+    mesh,
+    state: PhysicsState,
+    pd_target: jax.Array,
+    *,
+    axis_name: str = "data",
+    interpret: bool = False,
+) -> PhysicsState:
+    """shard_map wrapper: each device runs the mega-kernel on its own env
+    shard (padded to a tile multiple), so the Pallas hot path composes with
+    the DP mesh — GSPMD cannot partition a pallas_call by itself, which is
+    why round 1 fell back to the XLA path whenever device_count > 1."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        functools.partial(pallas_physics_step_padded, model, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        # pallas_call's out_shape has no varying-mesh-axes annotation; the
+        # body is trivially per-shard (no collectives), so skip the check
+        check_vma=False,
+    )
+    return fn(state, pd_target)

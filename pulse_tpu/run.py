@@ -70,7 +70,10 @@ def build_env_from_cfg(cfg, model, motion):
 
     e = cfg["env"]
     task = e["task"]
-    if task in ("HumanoidIm", "HumanoidImGetup", "HumanoidImDistillGetup"):
+    if task in (
+        "HumanoidIm", "HumanoidImGetup", "HumanoidImDistillGetup",
+        "HumanoidAMPGetup",
+    ):
         common = dict(
             episode_length=int(e["episode_length"]),
             termination_distance=float(e["termination_distance"]),
@@ -128,9 +131,19 @@ def build_env_from_cfg(cfg, model, motion):
                 recovery_steps=int(e.get("recovery_steps", 90)),
                 recovery_episode_prob=float(e.get("recovery_episode_prob", 0.3)),
                 fall_init_prob=float(e.get("fall_init_prob", 0.1)),
+                num_fall_states=int(e.get("num_fall_states", 256)),
+                fall_settle_steps=int(e.get("fall_settle_steps", 60)),
                 **common,
             )
-            im_env = HumanoidImGetupEnv(model, motion, gc)
+            if task == "HumanoidAMPGetup":
+                from pulse_tpu.env.humanoid_amp_getup import HumanoidAMPGetupEnv
+
+                im_env = HumanoidAMPGetupEnv(
+                    model, motion, gc,
+                    termination_height=float(e.get("termination_height", 0.15)),
+                )
+            else:
+                im_env = HumanoidImGetupEnv(model, motion, gc)
         if bool(e.get("shape_variation", False)):
             # per-env body shapes (≙ has_shape_variation, humanoid.py:918-1035)
             import jax as _jax
@@ -422,6 +435,7 @@ def main(argv=None):
         out_dir, exp_name=cfg["exp_name"], use_wandb=bool(cfg.get("use_wandb", False))
     )
     t_start = time.time()
+    t_window, e_window = t_start, epoch0   # windowed fps (excludes compile)
     steps_per_epoch = int(cfg["num_envs"]) * int(cfg["learning"]["horizon_length"])
     for epoch in range(epoch0, int(cfg["max_epochs"])):
         # host-side epoch schedule (getup reward weights, shape resampling —
@@ -434,12 +448,16 @@ def main(argv=None):
         ts, metrics = train(ts)
         if epoch % int(cfg["log_frequency"]) == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
+            now = time.time()
             metrics.update(
-                time=round(time.time() - t_start, 1),
+                time=round(now - t_start, 1),
+                # fps over the last log window, so the first compile doesn't
+                # poison the number; the first window still includes it
                 fps=round(
-                    steps_per_epoch * (epoch - epoch0 + 1) / (time.time() - t_start)
+                    steps_per_epoch * (epoch - e_window + 1) / max(now - t_window, 1e-6)
                 ),
             )
+            t_window, e_window = now, epoch + 1
             logger.log(metrics, epoch)
             print(
                 f"epoch={epoch} "

@@ -150,3 +150,36 @@ def skeleton_from_betas(model: SMPLModel, betas: np.ndarray) -> SkeletonTree:
         local[i] = joints[i] - joints[int(parents[i])]
     local[0] = joints[0]
     return SkeletonTree(SMPL_JOINT_NAMES[: len(parents)], parents, local)
+
+
+@dataclasses.dataclass(frozen=True)
+class GenderedSMPL:
+    """Gendered model triple (≙ MotionLibSMPL's smpl_parser_{n,m,f},
+    motion_lib_smpl.py:46-70): pick the body model per clip gender for the
+    LBS ground-height fix. Missing gendered pickles fall back to neutral."""
+
+    neutral: SMPLModel
+    male: SMPLModel | None = None
+    female: SMPLModel | None = None
+
+    GENDER_NUMBER = {"neutral": 0, "male": 1, "female": 2}
+
+    @classmethod
+    def load(cls, data_dir: str) -> "GenderedSMPL":
+        """Load SMPL_{NEUTRAL,MALE,FEMALE}.pkl from a directory (the
+        reference's data/smpl layout)."""
+        def maybe(name):
+            p = os.path.join(data_dir, name)
+            return load_smpl_model(p) if os.path.exists(p) else None
+
+        neutral = maybe("SMPL_NEUTRAL.pkl")
+        if neutral is None:
+            raise FileNotFoundError(f"{data_dir}/SMPL_NEUTRAL.pkl")
+        return cls(
+            neutral=neutral, male=maybe("SMPL_MALE.pkl"), female=maybe("SMPL_FEMALE.pkl")
+        )
+
+    def for_gender(self, gender) -> SMPLModel:
+        if isinstance(gender, str):
+            gender = self.GENDER_NUMBER.get(gender, 0)
+        return {0: self.neutral, 1: self.male or self.neutral, 2: self.female or self.neutral}[int(gender)]

@@ -76,9 +76,16 @@ def process_db(
     occlusion = joblib.load(occlusion_file) if occlusion_file else {}
     smpl = None
     if smpl_pkl:
-        from pulse_tpu.smpl.body_model import load_smpl_model
+        import os as _os
 
-        smpl = load_smpl_model(smpl_pkl)
+        from pulse_tpu.smpl.body_model import GenderedSMPL, load_smpl_model
+
+        if _os.path.isdir(smpl_pkl):
+            # directory -> gendered triple (≙ MotionLibSMPL's per-gender
+            # parsers, motion_lib_smpl.py:46-70)
+            smpl = GenderedSMPL.load(smpl_pkl)
+        else:
+            smpl = load_smpl_model(smpl_pkl)
 
     out = {}
     for k, v in raw.items():
@@ -116,9 +123,16 @@ def process_db(
             from pulse_tpu.motion.reference_format import axis_angle_to_quat
             from pulse_tpu.smpl.body_model import lbs
 
+            from pulse_tpu.smpl.body_model import GenderedSMPL
+
+            model_g = (
+                smpl.for_gender(v["gender"])
+                if isinstance(smpl, GenderedSMPL)
+                else smpl
+            )
             quats = axis_angle_to_quat(pose_aa[:1].reshape(1, 24, 3))[0]
             verts, _ = lbs(
-                smpl, jnp.asarray(betas, jnp.float32),
+                model_g, jnp.asarray(betas, jnp.float32),
                 jnp.asarray(quats, jnp.float32),
                 jnp.asarray(trans[0], jnp.float32),
             )

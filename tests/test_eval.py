@@ -256,3 +256,16 @@ class TestTaskEval:
             f"output_dir={tmp_path}", "exp_name=spz_pth",
         )
         assert np.isfinite(r.reward_per_step)
+
+
+def test_procrustes_jnp_matches_numpy():
+    """The in-graph batched procrustes equals the host reference impl."""
+    from pulse_tpu.eval.im_eval import _procrustes_aligned_err, _procrustes_err_jnp
+
+    rng = np.random.RandomState(0)
+    gt = rng.randn(6, 24, 3).astype(np.float32)
+    pred = (1.1 * gt + 0.05 * rng.randn(6, 24, 3) + 0.3).astype(np.float32)
+    got = np.asarray(_procrustes_err_jnp(jnp.asarray(pred), jnp.asarray(gt)))
+    for i in range(6):
+        want = _procrustes_aligned_err(pred[i : i + 1], gt[i : i + 1])
+        np.testing.assert_allclose(got[i], want, rtol=1e-4)

@@ -53,3 +53,47 @@ class TestGetup:
         rc = np.asarray(state.recovery_counter)
         term = np.asarray(state.terminate)
         assert not (term & (rc > 3)).any()
+
+
+class TestAMPGetup:
+    """≙ phc/env/tasks/humanoid_amp_getup.py: pure-AMP env + getup."""
+
+    def test_amp_getup_env(self):
+        from pulse_tpu.env.humanoid_amp_getup import HumanoidAMPGetupEnv
+        from pulse_tpu.env.humanoid_im_getup import GetupConfig
+
+        spec = load_smpl_humanoid()
+        model = build_model(spec, PhysicsConfig())
+        clips = make_synthetic_clips(spec.skeleton, num_clips=1, seconds=1.0)
+        motion = build_motion_data(spec.skeleton, clips)
+        env = HumanoidAMPGetupEnv(
+            model, motion,
+            GetupConfig(episode_length=15, num_fall_states=4, fall_settle_steps=3,
+                        fall_init_prob=0.5),
+        )
+        # no task obs: policy sees self obs only, but AMP obs still flow
+        assert env.task_obs_dim == 0
+        assert env.obs_dim == env.self_obs_dim
+        assert env.amp_obs_dim > 0
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        state = jax.jit(env.reset)(keys)
+        assert state.obs.shape == (4, env.self_obs_dim)
+        step = jax.jit(env.step)
+        for _ in range(3):
+            a = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (4, env.action_dim))
+            state = step(state, a)
+        # constant task reward (style comes from the discriminator)
+        np.testing.assert_allclose(np.asarray(state.reward), 1.0)
+        assert bool(jnp.all(jnp.isfinite(state.obs)))
+        assert state.amp_obs.shape == (4, env.amp_obs_dim)
+
+    def test_amp_getup_cfg_builds(self):
+        from pulse_tpu.utils.config import load_config
+        from pulse_tpu import run as run_mod
+
+        cfg = load_config(["env=amp_getup", "num_envs=2",
+                           "env.num_fall_states=4", "env.fall_settle_steps=2"])
+        spec, model = run_mod.build_model_from_cfg(cfg)
+        motion = run_mod.build_motion_from_cfg(cfg, spec)
+        env = run_mod.build_env_from_cfg(cfg, model, motion)
+        assert env.task_obs_dim == 0

@@ -178,3 +178,33 @@ def test_process_amass_pipeline(tmp_path, spec):
     clips = load_motion_file(isaac_pkl, spec.skeleton)
     motion = build_motion_data(spec.skeleton, clips)
     assert int(motion.num_motions) == len(db)
+
+
+def test_convert_pose_data(tmp_path, spec):
+    """Single-pose + MDM converters (≙ convert_data_smpl/convert_data_mdm)."""
+    import joblib
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import convert_pose_data
+
+    rng = np.random.RandomState(0)
+    pose_aa, trans = make_amass_like_sequence(B=12, seed=0)
+    src = {
+        "motionA": {"pose_aa": pose_aa, "trans": trans},
+        "poseB": {"pose_aa": pose_aa[0], "trans": trans[0]},  # static pose
+    }
+    in_pkl, out_pkl = str(tmp_path / "in.pkl"), str(tmp_path / "out.pkl")
+    joblib.dump(src, in_pkl)
+    out = convert_pose_data.convert(in_pkl, out_pkl, "smpl")
+    assert out["motionA"]["pose_quat"].shape == (12, 24, 4)
+    assert out["poseB"]["pose_quat"].shape == (2, 24, 4)  # static pose held
+    clips = load_motion_file(out_pkl, spec.skeleton)
+    assert len(clips) == 2
+
+    # MDM euler format round-trips through the same stage
+    euler = np.degrees(pose_aa.reshape(12, 24, 3))  # crude but valid eulers
+    mdm = {"gen0": {"pose_euler": euler, "root_translation": trans}}
+    joblib.dump(mdm, in_pkl)
+    out2 = convert_pose_data.convert(in_pkl, out_pkl, "mdm")
+    assert out2["gen0"]["pose_quat"].shape == (12, 24, 4)

@@ -162,3 +162,20 @@ def test_env_with_beta_shapes_and_shape_obs(model, smpl):
     # rows survive the step (and any auto-reset)
     tail2 = np.asarray(s2.obs[:, env.self_obs_dim - 21 : env.self_obs_dim])
     np.testing.assert_allclose(tail2, np.asarray(env._shape_obs_table), atol=1e-5)
+
+
+def test_gendered_smpl(spec, tmp_path):
+    """GenderedSMPL triple (≙ smpl_parser_{n,m,f}, motion_lib_smpl.py:46-70)
+    with fallback to neutral when gendered pickles are absent."""
+    from pulse_tpu.smpl.body_model import GenderedSMPL
+
+    d = tmp_path / "smpl"
+    d.mkdir()
+    write_smpl_pickle(str(d / "SMPL_NEUTRAL.pkl"), spec.skeleton)
+    write_smpl_pickle(str(d / "SMPL_MALE.pkl"), spec.skeleton, seed=1)
+    g = GenderedSMPL.load(str(d))
+    assert g.male is not None and g.female is None
+    assert g.for_gender("neutral") is g.neutral
+    assert g.for_gender("male") is g.male
+    assert g.for_gender("female") is g.neutral  # fallback
+    assert g.for_gender(1) is g.male

@@ -67,6 +67,25 @@ def main():
         assert np.median(d) < med_tol, f"{name} median diverged: {np.median(d)}"
     print("pallas TPU vs XLA parity: OK")
 
+    # the shard_map'd path (DP mesh composition, incl. the non-tile-multiple
+    # padding) with the real Mosaic lowering — a 1-device mesh exercises the
+    # same manual-sharding lowering the multi-chip mesh uses
+    from jax.sharding import Mesh
+    from pulse_tpu.physics.substep_pallas import sharded_pallas_physics_step
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    Bs = 384  # per-chip shard size at 3072 envs / 8 chips — needs padding
+    st = jax.tree.map(lambda x: x[:Bs], state)
+    out_s = jax.jit(
+        lambda s, p: sharded_pallas_physics_step(model, mesh, s, p)
+    )(st, pd[:Bs])
+    jax.block_until_ready(out_s)
+    err = float(
+        np.max(np.abs(np.asarray(out_s.root_pos) - np.asarray(out.root_pos)[:Bs]))
+    )
+    assert err < 1e-6, f"sharded vs plain kernel mismatch: {err}"
+    print("pallas shard_map path on TPU: OK")
+
 
 if __name__ == "__main__":
     main()
