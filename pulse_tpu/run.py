@@ -344,6 +344,53 @@ def build_teacher_from_cfg(cfg, env):
     from pulse_tpu.learning.networks import ActorCritic
 
     l = cfg["learning"]
+    pnn_ckpt = l.get("teacher_pnn_checkpoint", "")
+    if pnn_ckpt:
+        # PHC PNN + composer teacher from reference .pth checkpoints
+        # (≙ humanoid_im_distill.py:57-61: load_pnn(check_points[0]) +
+        # load_mcp_mlp(check_points[1], "composer"); the composer is the
+        # reference's reloaded-with-activation variant)
+        from pulse_tpu.learning.pnn import PNN, MCPComposer, compose_actions
+        from pulse_tpu.utils.checkpoint import (
+            import_mcp_composer,
+            import_pnn,
+            import_running_mean_std,
+            load_torch_checkpoint,
+        )
+
+        pnn_sd = load_torch_checkpoint(pnn_ckpt)["model"]
+        comp_ckpt = l.get("teacher_composer_checkpoint", "") or pnn_ckpt
+        comp_sd = load_torch_checkpoint(comp_ckpt)["model"]
+        pnn_params, info = import_pnn(pnn_sd)
+        pnn = PNN(
+            action_dim=info["action_dim"],
+            num_primitives=info["num_primitives"],
+            units=info["units"],
+            activation=str(l.get("teacher_activation", "relu")),
+            has_lateral=info["has_lateral"],
+        )
+        comp_params = import_mcp_composer(comp_sd)
+        n_comp_units = len(comp_params["MLP_0"])
+        comp = MCPComposer(
+            num_primitives=info["num_primitives"],
+            units=tuple(
+                comp_params["MLP_0"][f"Dense_{i}"]["bias"].shape[0]
+                for i in range(n_comp_units)
+            ),
+            activation=str(l.get("teacher_activation", "relu")),
+            final=str(l.get("teacher_activation", "relu")),
+        )
+        rms = import_running_mean_std(pnn_sd)
+        print(f"PNN teacher imported from {pnn_ckpt} ({info})")
+
+        def teacher_fn(obs):
+            obs_n = rms.normalize(obs)
+            prims = pnn.apply({"params": pnn_params}, obs_n)
+            w = comp.apply({"params": comp_params}, obs_n)
+            return jnp.clip(compose_actions(w, prims), -1.0, 1.0)
+
+        return teacher_fn
+
     net = ActorCritic(
         action_dim=env.action_dim,
         actor_units=tuple(l.get("teacher_actor_units", (2048, 1536, 1024))),

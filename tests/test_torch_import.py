@@ -287,3 +287,41 @@ def test_import_running_mean_std():
         -5, 5,
     )
     np.testing.assert_allclose(np.asarray(rms.normalize(jnp.asarray(x))), want, atol=1e-5)
+
+
+def test_pnn_teacher_from_pth(tmp_path):
+    """build_teacher_from_cfg consumes reference PNN+composer .pth
+    checkpoints (≙ humanoid_im_distill.py:57-61)."""
+    from pulse_tpu import run as run_mod
+    from pulse_tpu.utils.config import load_config
+
+    cfg = load_config(["env=im_vae", "learning=im_z_fit", "num_envs=2",
+                       "env.num_fall_states=4", "env.fall_settle_steps=2"])
+    spec, model = run_mod.build_model_from_cfg(cfg)
+    motion = run_mod.build_motion_from_cfg(cfg, spec)
+    env = run_mod.build_env_from_cfg(cfg, model, motion)
+
+    torch.manual_seed(21)
+    in_dim, units, A = env.obs_dim, (32, 16), env.action_dim
+    ref = RefTorchPNN(in_dim, units, A, 2)
+    sd = sd_numpy("a2c_network.pnn", ref)
+    comp = mlp_seq(in_dim, (16,), act=nn.ReLU, final=2)
+    sd.update(sd_numpy("a2c_network.composer", comp))
+    sd["running_mean_std.running_mean"] = np.zeros(in_dim)
+    sd["running_mean_std.running_var"] = np.ones(in_dim)
+    sd["running_mean_std.count"] = np.asarray(10.0)
+    pth = str(tmp_path / "Humanoid_00000001.pth")
+    torch.save({"model": {k: torch.as_tensor(v) for k, v in sd.items()}}, pth)
+
+    cfg["learning"]["teacher_pnn_checkpoint"] = pth
+    teacher = run_mod.build_teacher_from_cfg(cfg, env)
+    rng = np.random.RandomState(0)
+    obs = rng.randn(3, in_dim).astype(np.float32)
+    act = np.asarray(teacher(jnp.asarray(obs)))
+    assert act.shape == (3, A)
+    # matches the torch chain: relu(composer) weights over PNN columns
+    with torch.no_grad():
+        prims = torch.stack(ref(torch.from_numpy(obs)), dim=1)
+        w = torch.relu(comp(torch.from_numpy(obs)))
+        want = np.clip((w[:, :, None] * prims).sum(1).numpy(), -1, 1)
+    np.testing.assert_allclose(act, want, atol=1e-5)
