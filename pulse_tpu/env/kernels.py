@@ -152,7 +152,13 @@ def compute_imitation_observations_v8(
     ref_body_ang_vel: jax.Array,
 ) -> jax.Array:
     """v8 (≙ humanoid_im.py:1415-1484): diffs only against the FIRST ref
-    step; full local ref pos/rot/vel/angvel for every (incl. future) step."""
+    step; full local ref pos/rot/vel/angvel for every (incl. future) step.
+
+    Golden-tested against the reference at time_steps == 1
+    (test_reference_parity.py); the reference's time_steps > 1 branch is
+    unreachable as written — `local_ref_body_vel[:, 1:].view(...)` raises on
+    the non-contiguous slice (humanoid_im.py:1474) — so for T > 1 this is
+    the natural extension (contiguous per-step layout)."""
     B, T, J, _ = ref_body_pos.shape
     heading_inv1 = q.calc_heading_quat_inv(root_rot)[:, None, :]     # [B,1,4]
     heading1 = q.calc_heading_quat(root_rot)[:, None, :]

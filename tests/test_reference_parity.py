@@ -39,7 +39,7 @@ def rand_quats(rng, *shape):
 
 
 def t(x):
-    return torch.from_numpy(np.asarray(x))
+    return torch.from_numpy(np.ascontiguousarray(x))
 
 
 def j(x):
@@ -405,3 +405,142 @@ class TestPoselibParity:
         ).numpy()
         got_av = np.asarray(compute_angular_velocity(j(rot), fps, smooth=smooth))
         np.testing.assert_allclose(got_av, want_av, atol=2e-3)
+
+
+class TestImObsVariants:
+    """obs v7/v8/v9 (humanoid_im.py:1382-1540) — round 2 extends the golden
+    net beyond v6."""
+
+    def _inputs(self, seed):
+        rng = np.random.RandomState(seed)
+        pos, rot, vel, avel = _rand_body_state(rng)
+        return (
+            pos, rot, vel, avel,
+            rng.randn(B, T, J, 3).astype(np.float32),
+            rand_quats(rng, B, T, J),
+            rng.randn(B, T, J, 3).astype(np.float32),
+            rng.randn(B, T, J, 3).astype(np.float32),
+        )
+
+    def test_v7(self):
+        ks = rs.extract_kernels(
+            "phc/env/tasks/humanoid_im.py", ["compute_imitation_observations_v7"]
+        )
+        pos, rot, vel, avel, rp, rr, rv, rav = self._inputs(40)
+        want = ks["compute_imitation_observations_v7"](
+            t(pos[:, 0]), t(rot[:, 0]), t(pos), t(vel),
+            t(rp.reshape(B, T * J, 3)), t(rv.reshape(B, T * J, 3)), T, True,
+        ).numpy()
+        got = np.asarray(
+            K.compute_imitation_observations_v7(
+                j(pos[:, 0]), j(rot[:, 0]), j(pos), j(vel), j(rp), j(rv)
+            )
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_v8(self):
+        # time_steps == 1 only: the reference's T>1 branch CRASHES in torch
+        # (`local_ref_body_vel[:, 1:].view(...)` on a non-contiguous slice,
+        # humanoid_im.py:1474) — our kernel implements the natural extension
+        # for T>1 and matches the working T=1 branch exactly.
+        ks = rs.extract_kernels(
+            "phc/env/tasks/humanoid_im.py", ["compute_imitation_observations_v8"]
+        )
+        pos, rot, vel, avel, rp, rr, rv, rav = self._inputs(41)
+        rp, rr, rv, rav = rp[:, :1], rr[:, :1], rv[:, :1], rav[:, :1]
+        want = ks["compute_imitation_observations_v8"](
+            t(pos[:, 0]), t(rot[:, 0]), t(pos), t(rot), t(vel), t(avel),
+            t(rp.reshape(B, J, 3)), t(rr.reshape(B, J, 4)),
+            t(rv.reshape(B, J, 3)), t(rav.reshape(B, J, 3)), 1, True,
+        ).numpy()
+        got = np.asarray(
+            K.compute_imitation_observations_v8(
+                j(pos[:, 0]), j(rot[:, 0]), j(pos), j(rot), j(vel), j(avel),
+                j(rp), j(rr), j(rv), j(rav),
+            )
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_v9(self):
+        ks = rs.extract_kernels(
+            "phc/env/tasks/humanoid_im.py", ["compute_imitation_observations_v9"]
+        )
+        rng = np.random.RandomState(42)
+        pos, rot, vel, avel = _rand_body_state(rng)
+        rp = rng.randn(B, T, J, 3).astype(np.float32)
+        rr = rand_quats(rng, B, T, J)
+        rrv = rng.randn(B, T, 3).astype(np.float32)
+        rrav = rng.randn(B, T, 3).astype(np.float32)
+        want = ks["compute_imitation_observations_v9"](
+            t(pos[:, 0]), t(rot[:, 0]), t(pos), t(rot), t(vel), t(avel),
+            t(rp.reshape(B, T * J, 3)), t(rr.reshape(B, T * J, 4)),
+            t(rrv), t(rrav), T, True,
+        ).numpy()
+        got = np.asarray(
+            K.compute_imitation_observations_v9(
+                j(pos[:, 0]), j(rot[:, 0]), j(pos), j(rot), j(vel), j(avel),
+                j(rp), j(rr), j(rrv), j(rrav),
+            )
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+class TestTaskKernels:
+    """Downstream-task obs/reward kernels vs the reference
+    (humanoid_speed.py:311-344, humanoid_traj.py:234-266). Our envs inline
+    these expressions (humanoid_task.py) — the test pins the exact math."""
+
+    def test_speed(self):
+        ks = rs.extract_kernels(
+            "phc/env/tasks/humanoid_speed.py",
+            ["compute_speed_observations", "compute_speed_reward"],
+        )
+        rng = np.random.RandomState(50)
+        root_states = rng.randn(B, 13).astype(np.float32)
+        root_states[:, 3:7] = rand_quats(rng, B)
+        tar_speed = rng.uniform(0, 5, B).astype(np.float32)
+        want = ks["compute_speed_observations"](t(root_states), t(tar_speed)).numpy()
+        # ours (humanoid_task.py HumanoidSpeedEnv._task_obs)
+        heading_inv = q.calc_heading_quat_inv(j(root_states[:, 3:7]))
+        tar_dir = q.quat_rotate(heading_inv, jnp.broadcast_to(jnp.asarray([1.0, 0, 0]), (B, 3)))
+        got = np.asarray(jnp.concatenate([tar_dir[:, 0:2], j(tar_speed)[:, None]], -1))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        pos = rng.randn(B, 3).astype(np.float32)
+        prev = pos - 0.03 * rng.randn(B, 3).astype(np.float32)
+        dt = 1.0 / 30.0
+        want_r = ks["compute_speed_reward"](
+            t(pos), t(prev), t(root_states[:, 3:7]), t(tar_speed), dt
+        ).numpy()
+        root_vel = (j(pos) - j(prev)) / dt
+        got_r = np.asarray(
+            jnp.exp(-0.25 * ((j(tar_speed) - root_vel[:, 0]) ** 2 + 0.1 * root_vel[:, 1] ** 2))
+        )
+        np.testing.assert_allclose(got_r, want_r, atol=1e-5)
+
+    def test_location(self):
+        ks = rs.extract_kernels(
+            "phc/env/tasks/humanoid_traj.py",
+            ["compute_location_observations", "compute_location_reward"],
+        )
+        rng = np.random.RandomState(51)
+        root_states = rng.randn(B, 13).astype(np.float32)
+        root_states[:, 3:7] = rand_quats(rng, B)
+        S = 10
+        samples = rng.randn(B, S, 3).astype(np.float32)
+        want = ks["compute_location_observations"](t(root_states), t(samples)).numpy()
+        # ours (humanoid_task.py HumanoidTrajEnv._task_obs, batched form)
+        heading_inv = q.calc_heading_quat_inv(j(root_states[:, 3:7]))
+        delta = j(samples) - j(root_states[:, None, 0:3])
+        local = q.quat_rotate(heading_inv[:, None], delta)
+        got = np.asarray(local[..., 0:2].reshape(B, -1))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        tar = rng.randn(B, 3).astype(np.float32)
+        want_r = ks["compute_location_reward"](t(root_states[:, 0:3]), t(tar)).numpy()
+        d = j(tar)[:, 0:2] - j(root_states[:, 0:2])
+        got_r = np.asarray(jnp.exp(-2.0 * jnp.sum(d * d, -1)))
+        np.testing.assert_allclose(got_r, want_r, atol=1e-5)
