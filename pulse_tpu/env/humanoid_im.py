@@ -28,6 +28,7 @@ from pulse_tpu.physics.state import (
     dof_pos_from_state,
     dof_vel_from_state,
     state_from_kinematics,
+    state_from_motion_ref,
 )
 from pulse_tpu.physics.step import physics_step
 
@@ -325,11 +326,14 @@ class HumanoidImEnv:
         key: jax.Array,
         model: Model | None = None,
         shape_obs: jax.Array | None = None,
+        with_obs: bool = True,
     ) -> EnvState:
         k_motion, k_time, k_next = jax.random.split(key, 3)
         motion_id = sample_motions(k_motion, self.motion, 1)[0]
         start_time = self._sample_init_time(k_time, motion_id)
-        return self._reset_to(k_next, motion_id, start_time, model, shape_obs)
+        return self._reset_to(
+            k_next, motion_id, start_time, model, shape_obs, with_obs
+        )
 
     def reset_to_one(
         self, key: jax.Array, motion_id: jax.Array, start_time: jax.Array
@@ -345,20 +349,27 @@ class HumanoidImEnv:
         start_time,
         model: Model | None = None,
         shape_obs: jax.Array | None = None,
+        with_obs: bool = True,
     ) -> EnvState:
         model = self.model if model is None else model
         if shape_obs is None and self.shape_extra_dim:
             shape_obs = jnp.zeros(self.shape_extra_dim)
         ref = self._ref_state(motion_id, start_time)
-        physics = state_from_kinematics(
-            model,
-            ref["root_pos"],
-            ref["root_rot"],
-            ref["dof_pos"],
-            ref["root_vel"],
-            ref["root_ang_vel"],
-            ref["dof_vel"],
-        )
+        if self.batched_model is None:
+            # tables already carry the FK'd bodies — reset is pure gathers
+            physics = state_from_motion_ref(model, ref)
+        else:
+            # per-env shapes: the shared motion tables don't match the
+            # env's skeleton, so FK through the env's own model
+            physics = state_from_kinematics(
+                model,
+                ref["root_pos"],
+                ref["root_rot"],
+                ref["dof_pos"],
+                ref["root_vel"],
+                ref["root_ang_vel"],
+                ref["dof_vel"],
+            )
         state = EnvState(
             physics=physics,
             key=k_next,
@@ -381,7 +392,11 @@ class HumanoidImEnv:
                     single[None], (self.config.self_obs_hist_steps, 1)
                 )
             )
-        return state.replace(obs=self._observe(state))
+        # with_obs=False: the auto-reset path computes obs once on the merged
+        # state in _finish_step instead
+        if with_obs:
+            state = state.replace(obs=self._observe(state))
+        return state
 
     def _init_amp_hist(self, motion_id, start_time) -> jax.Array:
         """Fill the discriminator window from the motion's past frames
@@ -638,7 +653,24 @@ class HumanoidImEnv:
                 .at[0]
                 .set(self._self_obs_single(stepped))
             )
-        obs = self._observe(stepped, far)
+        stepped = stepped.replace(amp_hist=amp_hist)
+
+        # In-graph auto-reset: branch-free select between stepped and fresh
+        # (the per-env shape row is static across resets, so it carries over).
+        # The observation is computed ONCE, on the post-select state — obs is
+        # the most expensive part of the step after physics, and computing it
+        # for both branches doubled that cost.
+        k_reset, k_keep = jax.random.split(state.key)
+        fresh = self.reset_one(k_reset, model, state.shape_obs, with_obs=False)
+        next_state = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(reset, (1,) * a.ndim) if a.ndim else reset, a, b
+            ),
+            fresh,
+            stepped.replace(key=k_keep),
+        )
+
+        obs = self._observe(next_state, None if cfg.zero_out_far else far)
         if cfg.obs_noise_std > 0:
             k_noise, _ = jax.random.split(jax.random.fold_in(state.key, 17))
             obs = obs + cfg.obs_noise_std * jax.random.normal(k_noise, obs.shape)
@@ -652,22 +684,11 @@ class HumanoidImEnv:
             keep = (idx < start) | (idx >= start + width)
             occlude = jax.random.uniform(k_occ) < cfg.occlusion_prob
             obs = jnp.where(occlude & ~keep, 0.0, obs)
-        stepped = stepped.replace(obs=obs, amp_hist=amp_hist)
 
-        # in-graph auto-reset: branch-free select between stepped and fresh
-        # (the per-env shape row is static across resets, so it carries over)
-        k_reset, k_keep = jax.random.split(state.key)
-        fresh = self.reset_one(k_reset, model, state.shape_obs)
-        next_state = jax.tree.map(
-            lambda a, b: jnp.where(
-                jnp.reshape(reset, (1,) * a.ndim) if a.ndim else reset, a, b
-            ),
-            fresh,
-            stepped.replace(key=k_keep),
-        )
         # keep the step's reward/done visible to the learner
         return next_state.replace(
-            reward=reward, reward_raw=reward_raw, done=reset, terminate=terminate
+            obs=obs, reward=reward, reward_raw=reward_raw,
+            done=reset, terminate=terminate,
         )
 
     # ------------------------------------------------------------------ #

@@ -243,6 +243,7 @@ def get_motion_state(
         "rb_rot": rb_rot,
         "body_vel": body_vel,
         "body_ang_vel": body_ang_vel,
+        "local_rot": local_rot,
     }
 
 

@@ -143,6 +143,39 @@ def state_from_kinematics(
     return refresh_kinematics(model, state)
 
 
+def state_from_motion_ref(model: Model, ref: dict) -> PhysicsState:
+    """Build a reset state DIRECTLY from a motion-lib state dict — zero FK.
+
+    The motion tables already hold the FK'd global body poses and the
+    smoothed body velocities (built by the same forward_kinematics at load
+    time), so re-running FK per auto-reset (state_from_kinematics ->
+    refresh_kinematics) was pure waste: disabling the in-step reset showed
+    it costing ~half the env step on TPU (1.29M -> 2.61M steps/s). Using
+    the table velocities verbatim also matches the reference MORE closely —
+    its reset writes cached rigid-body states from the motion directly
+    (_set_env_state rb workaround, humanoid_amp.py:565-597)."""
+    Jm1 = model.num_joints
+    root_rot = q.quat_unit(ref["root_rot"])
+    root_vel6 = jnp.concatenate(
+        [
+            q.quat_rotate_inverse(root_rot, ref["root_ang_vel"]),
+            q.quat_rotate_inverse(root_rot, ref["root_vel"]),
+        ]
+    )
+    return PhysicsState(
+        root_pos=ref["root_pos"],
+        root_rot=root_rot,
+        joint_rot=ref["local_rot"][1:],
+        root_vel6=root_vel6,
+        joint_omega=ref["dof_vel"].reshape(Jm1, 3),
+        body_pos=ref["rg_pos"],
+        body_rot=ref["rb_rot"],
+        body_vel=ref["body_vel"],
+        body_ang_vel=ref["body_ang_vel"],
+        contact_force=jnp.zeros((model.num_bodies, 3)),
+    )
+
+
 def default_state(model: Model, height: float = 0.95) -> PhysicsState:
     """T-pose standing at the given pelvis height."""
     D = model.num_dof
