@@ -40,6 +40,9 @@ class HumanoidAMPGetupEnv(HumanoidImGetupEnv):
             [i for i, n in enumerate(self._names) if n not in feet], np.int32
         )
 
+    def _ctor_kwargs(self) -> dict:
+        return {"termination_height": self.termination_height}
+
     def _observe(self, state: EnvState, far=None) -> jax.Array:
         cfg = self.config
         if cfg.self_obs_v == 2:

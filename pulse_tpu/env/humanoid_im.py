@@ -82,6 +82,13 @@ class EnvConfig:
     occlusion_prob: float = 0.0
     occlusion_frac: float = 0.25
     num_amp_obs_steps: int = 10     # discriminator window (humanoid_amp.py:91)
+    # disc obs version (≙ amp_obs_v, humanoid_amp.py:303-307): v2 adds
+    # heading-local key-body VELOCITIES after the key positions
+    amp_obs_v: int = 1
+    # append [gender, betas(10)] to the DISC obs (≙ has_shape_obs_disc,
+    # humanoid.py:267 — reference default follows has_shape_obs). Requires
+    # has_shape_obs: the channel slices the same per-env shape row.
+    has_shape_obs_disc: bool = False
     # shape conditioning channels (≙ has_shape_obs / has_limb_weight_obs,
     # humanoid.py:266-267,1166-1177): append [gender, betas(10)] and the 10
     # limb length/mass group sums to the self obs; rows come from
@@ -222,9 +229,19 @@ class HumanoidImEnv:
             raise ValueError(f"unsupported obs_v {obs_v}")
         self.obs_dim = self.self_obs_dim + self.task_obs_dim
         D = model.num_dof
+        if self.config.amp_obs_v not in (1, 2):
+            raise ValueError(f"unsupported amp_obs_v {self.config.amp_obs_v}")
+        if self.config.has_shape_obs_disc and not self.config.has_shape_obs:
+            raise ValueError("has_shape_obs_disc requires has_shape_obs")
+        K = len(self.key_body_ids)
+        # [root_h?, rot 6, vel 3, ang vel 3, dof tan-norm 2D, dof vel D,
+        #  key pos 3K, key vel 3K (v2), shape 11?, limb 10?]
         self.amp_obs_dim_single = (
             (1 if self.config.root_height_obs else 0)
-            + 6 + 3 + 3 + 2 * D + D + 3 * len(self.key_body_ids)
+            + 6 + 3 + 3 + 2 * D + D + 3 * K
+            + (3 * K if self.config.amp_obs_v == 2 else 0)
+            + (11 if self.config.has_shape_obs_disc else 0)
+            + (10 if self.config.has_limb_weight_obs else 0)
         )
         self.amp_obs_dim = self.config.num_amp_obs_steps * self.amp_obs_dim_single
         self.action_dim = D
@@ -236,13 +253,15 @@ class HumanoidImEnv:
             self.amp_frame_table = self._build_amp_frame_table()
 
     def _build_amp_frame_table(self) -> jax.Array:
-        """AMP obs of every stored motion frame, one batched call. [F, A]."""
+        """AMP obs of every stored motion frame, one batched call. [F, A].
+        Holds the motion-derived channels only — the per-env shape/limb
+        disc channels (static across frames) are appended at gather time."""
         from pulse_tpu.ops import quat as _q
 
         m = self.motion
         F = m.gts.shape[0]
         dof_pos = _q.quat_to_exp_map(m.lrs[:, 1:]).reshape(F, -1)
-        return kernels.build_amp_observations_smpl(
+        args = (
             m.gts[:, 0],
             m.grs[:, 0],
             m.gvs[:, 0],
@@ -250,9 +269,66 @@ class HumanoidImEnv:
             dof_pos,
             m.dvs,
             m.gts[:, self.key_body_ids],
+        )
+        kw = dict(
             local_root_obs=self.config.local_root_obs,
             root_height_obs=self.config.root_height_obs,
         )
+        if self.config.amp_obs_v == 2:
+            return kernels.build_amp_observations_smpl_v2(
+                *args, m.gvs[:, self.key_body_ids], **kw
+            )
+        return kernels.build_amp_observations_smpl(*args, **kw)
+
+    def _disc_extra_parts(self, shape_obs):
+        """Slices of the per-env shape row for the disc obs trailing
+        channels ([gender+betas 11] iff has_shape_obs_disc, [limb 10] iff
+        has_limb_weight_obs — ≙ the shape_params/limb_weight_params args of
+        build_amp_observations_smpl*, humanoid_amp.py:924-1017)."""
+        cfg = self.config
+        shape = limb = None
+        if cfg.has_shape_obs_disc or cfg.has_limb_weight_obs:
+            row = (
+                shape_obs
+                if shape_obs is not None
+                else jnp.zeros(self.shape_extra_dim)
+            )
+            if cfg.has_shape_obs_disc:
+                shape = row[None, :11]
+            if cfg.has_limb_weight_obs:
+                limb = row[None, -10:]
+        return shape, limb
+
+    def amp_obs_from_motion_state(self, st: dict, shape_obs=None) -> jax.Array:
+        """Disc obs rows [n, A] from a get_motion_state dict — the demo
+        fetch / RSI window path. Demo shape channels come from `shape_obs`
+        (zeros when None: the motion store carries no per-clip betas)."""
+        n = st["root_pos"].shape[0]
+        shape_p, limb_p = self._disc_extra_parts(shape_obs)
+        kw = dict(
+            local_root_obs=self.config.local_root_obs,
+            root_height_obs=self.config.root_height_obs,
+            shape_params=None
+            if shape_p is None
+            else jnp.broadcast_to(shape_p, (n, shape_p.shape[-1])),
+            limb_weight_params=None
+            if limb_p is None
+            else jnp.broadcast_to(limb_p, (n, limb_p.shape[-1])),
+        )
+        args = (
+            st["root_pos"],
+            st["root_rot"],
+            st["root_vel"],
+            st["root_ang_vel"],
+            st["dof_pos"],
+            st["dof_vel"],
+            st["rg_pos"][:, self.key_body_ids],
+        )
+        if self.config.amp_obs_v == 2:
+            return kernels.build_amp_observations_smpl_v2(
+                *args, st["body_vel"][:, self.key_body_ids], **kw
+            )
+        return kernels.build_amp_observations_smpl(*args, **kw)
 
     # ------------------------------------------------------------------ #
     # reference state lookup
@@ -381,7 +457,7 @@ class HumanoidImEnv:
             reward_raw=jnp.zeros(4),
             done=jnp.zeros((), bool),
             terminate=jnp.zeros((), bool),
-            amp_hist=self._init_amp_hist(motion_id, start_time),
+            amp_hist=self._init_amp_hist(motion_id, start_time, shape_obs),
             recovery_counter=jnp.zeros((), jnp.int32),
             shape_obs=shape_obs,
         )
@@ -398,7 +474,7 @@ class HumanoidImEnv:
             state = state.replace(obs=self._observe(state))
         return state
 
-    def _init_amp_hist(self, motion_id, start_time) -> jax.Array:
+    def _init_amp_hist(self, motion_id, start_time, shape_obs=None) -> jax.Array:
         """Fill the discriminator window from the motion's past frames
         (≙ _init_amp_obs_ref path on RSI resets)."""
         S = self.config.num_amp_obs_steps
@@ -413,19 +489,17 @@ class HumanoidImEnv:
             f = jnp.clip(
                 jnp.round(times / mdt).astype(jnp.int32), 0, num_frames - 1
             )
-            return self.amp_frame_table[m.length_starts[ids] + f]
+            rows = self.amp_frame_table[m.length_starts[ids] + f]
+            shape_p, limb_p = self._disc_extra_parts(shape_obs)
+            extras = [p for p in (shape_p, limb_p) if p is not None]
+            if extras:
+                extra = jnp.concatenate(extras, axis=-1)
+                rows = jnp.concatenate(
+                    [rows, jnp.broadcast_to(extra, (S, extra.shape[-1]))], -1
+                )
+            return rows
         st = get_motion_state(self.motion, ids, times)
-        return kernels.build_amp_observations_smpl(
-            st["root_pos"],
-            st["root_rot"],
-            st["root_vel"],
-            st["root_ang_vel"],
-            st["dof_pos"],
-            st["dof_vel"],
-            st["rg_pos"][:, self.key_body_ids],
-            local_root_obs=self.config.local_root_obs,
-            root_height_obs=self.config.root_height_obs,
-        )
+        return self.amp_obs_from_motion_state(st, shape_obs)
 
     # ------------------------------------------------------------------ #
     # observations
@@ -521,7 +595,8 @@ class HumanoidImEnv:
 
     def _amp_obs(self, state: EnvState) -> jax.Array:
         ph = state.physics
-        return kernels.build_amp_observations_smpl(
+        shape_p, limb_p = self._disc_extra_parts(state.shape_obs)
+        args = (
             ph.root_pos[None],
             ph.root_rot[None],
             ph.body_vel[None, 0],
@@ -529,9 +604,18 @@ class HumanoidImEnv:
             dof_pos_from_state(ph)[None],
             dof_vel_from_state(ph)[None],
             ph.body_pos[None, self.key_body_ids],
+        )
+        kw = dict(
             local_root_obs=self.config.local_root_obs,
             root_height_obs=self.config.root_height_obs,
-        )[0]
+            shape_params=shape_p,
+            limb_weight_params=limb_p,
+        )
+        if self.config.amp_obs_v == 2:
+            return kernels.build_amp_observations_smpl_v2(
+                *args, ph.body_vel[None, self.key_body_ids], **kw
+            )[0]
+        return kernels.build_amp_observations_smpl(*args, **kw)[0]
 
     # ------------------------------------------------------------------ #
     # step
@@ -670,7 +754,9 @@ class HumanoidImEnv:
             stepped.replace(key=k_keep),
         )
 
-        obs = self._observe(next_state, None if cfg.zero_out_far else far)
+        # _observe recomputes far from next_state when zero_out_far is on:
+        # the pre-reset `far` above would be stale for just-reset envs
+        obs = self._observe(next_state)
         if cfg.obs_noise_std > 0:
             k_noise, _ = jax.random.split(jax.random.fold_in(state.key, 17))
             obs = obs + cfg.obs_noise_std * jax.random.normal(k_noise, obs.shape)
@@ -714,6 +800,10 @@ class HumanoidImEnv:
             and self.batched_model is None
             and (jax.default_backend() == "tpu" or self._pallas_interpret)
             and (B % 1024 == 0 or self.mesh is not None)
+            # multi-chip without an explicit mesh must fall back to the vmap
+            # path: GSPMD cannot partition an unsharded pallas_call, so the
+            # kernel is only safe single-chip or under our own shard_map
+            and (self.mesh is not None or jax.device_count() == 1)
         ):
             # one kernel for all substeps of the whole batch (launch/copy
             # bound otherwise — see physics/substep_pallas.py). Under a DP
@@ -742,6 +832,29 @@ class HumanoidImEnv:
             return jax.vmap(self.step_one)(states, actions)
         return jax.vmap(self.step_one)(states, actions, self.batched_model)
 
+    def _ctor_kwargs(self) -> dict:
+        """Extra constructor kwargs beyond (model, motion, config).
+        Subclasses with additional ctor args override this so with_config
+        can rebuild them faithfully."""
+        return {}
+
+    def with_config(self, config):
+        """Rebuild this env with a different config, preserving subclass
+        ctor args and post-construction state (shape variation, mesh).
+        Used by run_eval to switch early termination off without silently
+        dropping e.g. HumanoidAMPGetupEnv.termination_height."""
+        new = type(self)(self.model, self.motion, config, **self._ctor_kwargs())
+        for attr in (
+            "batched_model",
+            "_shape_obs_table",
+            "_shape_variation_args",
+            "mesh",
+            "_pallas_interpret",
+        ):
+            if hasattr(self, attr):
+                setattr(new, attr, getattr(self, attr))
+        return new
+
     def enable_shape_variation(
         self,
         key: jax.Array,
@@ -758,6 +871,13 @@ class HumanoidImEnv:
         generated from sampled SMPL betas — the reference's SMPL_Robot path;
         without it, isotropic scale factors. Fills the per-env shape/limb
         obs rows when the config flags ask for them."""
+        # remember the mode so a periodic resample (resample_shapes) replays
+        # the same arguments — the reference's resample_motions keeps the
+        # SMPL-beta mode across resamples rather than reverting to scales
+        self._shape_variation_args = dict(
+            num_envs=num_envs, scale_range=scale_range,
+            smpl_model=smpl_model, beta_std=beta_std,
+        )
         from pulse_tpu.physics.shape_variation import (
             limb_weight_params,
             models_from_betas,
@@ -788,3 +908,14 @@ class HumanoidImEnv:
                     )
                 )
             self._shape_obs_table = jnp.concatenate(parts, axis=-1)
+
+    def resample_shapes(self, key: jax.Array) -> None:
+        """Redraw every env's body shape in the SAME mode (SMPL betas or
+        isotropic scales) that enable_shape_variation was originally called
+        with (≙ the periodic shape resample in amp_agent.py:557-579)."""
+        args = getattr(self, "_shape_variation_args", None)
+        if args is None:
+            raise RuntimeError(
+                "resample_shapes before enable_shape_variation"
+            )
+        self.enable_shape_variation(key, **args)

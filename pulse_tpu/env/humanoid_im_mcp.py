@@ -22,6 +22,9 @@ class _MCPMixin:
     def init_mcp(self, pnn: PNN, pnn_params):
         self.pnn = pnn
         self.pnn_params = pnn_params
+
+    def _ctor_kwargs(self) -> dict:
+        return {"pnn": self.pnn, "pnn_params": self.pnn_params}
         self.action_dim = pnn.num_primitives
 
     def step_one(self, state: EnvState, weights: jax.Array) -> EnvState:

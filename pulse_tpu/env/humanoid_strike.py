@@ -35,9 +35,14 @@ class HumanoidStrikeEnv(HumanoidTaskEnv):
                                 "R_Elbow", "L_Elbow")):
         super().__init__(model, motion, config)
         self.prop_spec = prop_spec or PropSpec()
+        self.strike_bodies = tuple(strike_bodies)
         self.strike_body_ids = np.asarray(
             [self._names.index(n) for n in strike_bodies], np.int32
         )
+
+    def _ctor_kwargs(self) -> dict:
+        return {"prop_spec": self.prop_spec,
+                "strike_bodies": self.strike_bodies}
 
     # ------------------------------------------------------------------ #
 

@@ -125,6 +125,16 @@ class HumanoidTaskEnv:
         self.amp_obs_dim = self.config.num_amp_obs_steps * self.amp_obs_dim_single
         self.action_dim = D
 
+    def _ctor_kwargs(self) -> dict:
+        """Extra ctor kwargs beyond (model, motion, config); subclasses with
+        more args override so with_config rebuilds them faithfully."""
+        return {}
+
+    def with_config(self, config):
+        """Rebuild this env with a different config, preserving subclass
+        ctor args (used by run_eval's early-termination-off rebuild)."""
+        return type(self)(self.model, self.motion, config, **self._ctor_kwargs())
+
     # ---- task hooks (override) --------------------------------------- #
 
     def _reset_task(self, key: jax.Array, physics) -> Any:
@@ -204,6 +214,11 @@ class HumanoidTaskEnv:
         times = jnp.maximum(start_time - jnp.arange(S, dtype=jnp.float32) * dt, 0.0)
         ids = jnp.broadcast_to(motion_id, (S,))
         st = get_motion_state(self.motion, ids, times)
+        return self.amp_obs_from_motion_state(st)
+
+    def amp_obs_from_motion_state(self, st: dict, shape_obs=None) -> jax.Array:
+        """Disc obs rows [n, A] from a get_motion_state dict (the demo
+        fetch path of learning/amp.py; task envs use v1 disc obs)."""
         return kernels.build_amp_observations_smpl(
             st["root_pos"],
             st["root_rot"],

@@ -68,6 +68,14 @@ class HumanoidPedestrianTerrainEnv(HumanoidTrajEnv):
         self.mesh_terrain = mesh_terrain
         self._extent = (extent_x, extent_y)
         self.sensor_mode = sensor_mode
+        self._terrain_ctor_kwargs = dict(
+            terrain_config=tcfg,
+            terrain_seed=terrain_seed,
+            height_map_shape=height_map_shape,
+            height_map_spacing=height_map_spacing,
+            sensor_mode=sensor_mode,
+            mesh_terrain=mesh_terrain,
+        )
         if sensor_mode == "grid":
             pts = height_map_points(*height_map_shape, spacing=height_map_spacing)
             self._hm_grid_shape = height_map_shape
@@ -94,6 +102,11 @@ class HumanoidPedestrianTerrainEnv(HumanoidTrajEnv):
         self._hm_flip_perm = jnp.asarray(np.argmin(d, axis=1))
 
     # ------------------------------------------------------------------ #
+
+    def _ctor_kwargs(self) -> dict:
+        # with_terrain on the already-augmented model is idempotent, so
+        # with_config can safely pass self.model back through __init__
+        return dict(self._terrain_ctor_kwargs)
 
     def _ground_z(self, xy):
         return terrain_height(

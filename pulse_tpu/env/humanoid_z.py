@@ -67,6 +67,20 @@ class ZActionWrapper:
     def reset(self, keys: jax.Array):
         return self.env.reset(keys)
 
+    def __getattr__(self, name):
+        # proxy the rest of the env surface (reset_to, reset_to_one, ...) so
+        # a Z-wrapped imitation env reaches the im_eval motion sweep instead
+        # of silently falling back to episode-return eval
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self.env, name)
+
+    def with_config(self, config):
+        """Rebuild the wrapped env with a new config, keeping the wrapper."""
+        return ZActionWrapper(
+            self.env.with_config(config), self.network, self.frozen
+        )
+
     def step(self, states, action_z: jax.Array):
         self_obs_raw = states.obs[..., : self.network.self_obs_dim]
         motor_action = self.decode_z(self_obs_raw, action_z)

@@ -340,9 +340,13 @@ def build_amp_observations_smpl(
     key_body_pos: jax.Array,   # [B, K, 3]
     local_root_obs: bool = True,
     root_height_obs: bool = True,
+    shape_params: jax.Array | None = None,        # [B, 11] gender+betas
+    limb_weight_params: jax.Array | None = None,  # [B, 10]
 ) -> jax.Array:
     """AMP discriminator observation (≙ humanoid_amp.py:924-969):
-    [root_h?, root_rot 6, local vel 3+3, dof tan-norm 2D, dof_vel D, key pos 3K].
+    [root_h?, root_rot 6, local vel 3+3, dof tan-norm 2D, dof_vel D, key pos
+    3K, shape 11?, limb 10?] — the trailing channels iff has_shape_obs_disc /
+    has_limb_weight_obs in the reference.
     """
     heading_inv = q.calc_heading_quat_inv(root_rot)
     root_rot_obs = q.quat_mul(heading_inv, root_rot) if local_root_obs else root_rot
@@ -361,4 +365,56 @@ def build_amp_observations_smpl(
     if root_height_obs:
         parts.append(root_pos[:, 2:3])
     parts += [root_rot_obs, local_root_vel, local_root_ang_vel, dof_obs, dof_vel, local_key]
+    if shape_params is not None:
+        parts.append(shape_params)
+    if limb_weight_params is not None:
+        parts.append(limb_weight_params)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def build_amp_observations_smpl_v2(
+    root_pos: jax.Array,       # [B, 3]
+    root_rot: jax.Array,       # [B, 4]
+    root_vel: jax.Array,       # [B, 3]
+    root_ang_vel: jax.Array,   # [B, 3]
+    dof_pos: jax.Array,        # [B, D]
+    dof_vel: jax.Array,        # [B, D]
+    key_body_pos: jax.Array,   # [B, K, 3]
+    key_body_vel: jax.Array,   # [B, K, 3]
+    local_root_obs: bool = True,
+    root_height_obs: bool = True,
+    shape_params: jax.Array | None = None,        # [B, 11] gender+betas
+    limb_weight_params: jax.Array | None = None,  # [B, 10]
+) -> jax.Array:
+    """AMP disc obs v2 (≙ build_amp_observations_smpl_v2,
+    humanoid_amp.py:973-1017): v1 plus heading-local KEY-BODY VELOCITIES
+    inserted after the key positions (before the shape/limb channels).
+    Selected by amp_obs_v == 2 in the reference's AMP envs."""
+    heading_inv = q.calc_heading_quat_inv(root_rot)
+    root_rot_obs = q.quat_mul(heading_inv, root_rot) if local_root_obs else root_rot
+    root_rot_obs = q.quat_to_tan_norm(root_rot_obs)
+
+    local_root_vel = q.quat_rotate(heading_inv, root_vel)
+    local_root_ang_vel = q.quat_rotate(heading_inv, root_ang_vel)
+
+    local_key = q.quat_rotate(
+        heading_inv[:, None, :], key_body_pos - root_pos[:, None, :]
+    ).reshape(root_pos.shape[0], -1)
+    local_key_vel = q.quat_rotate(
+        heading_inv[:, None, :], key_body_vel
+    ).reshape(root_pos.shape[0], -1)
+
+    dof_obs = dof_to_obs_smpl(dof_pos)
+
+    parts = []
+    if root_height_obs:
+        parts.append(root_pos[:, 2:3])
+    parts += [
+        root_rot_obs, local_root_vel, local_root_ang_vel, dof_obs, dof_vel,
+        local_key, local_key_vel,
+    ]
+    if shape_params is not None:
+        parts.append(shape_params)
+    if limb_weight_params is not None:
+        parts.append(limb_weight_params)
     return jnp.concatenate(parts, axis=-1)

@@ -34,6 +34,10 @@ class EvalResult:
     vel_dist: float         # mm/frame
     accel_dist: float       # mm/frame^2
     failed_motions: np.ndarray  # [M] bool
+    # per-motion means (mm), for per-clip benchmark tables
+    # (tools/bench_quality.py); same accumulators as the aggregate
+    per_motion_mpjpe_g: np.ndarray | None = None  # [M]
+    per_motion_mpjpe_l: np.ndarray | None = None  # [M]
 
 
 def _procrustes_err_jnp(pred: jax.Array, gt: jax.Array) -> jax.Array:
@@ -171,6 +175,8 @@ def im_eval(
     eval_batch_j = jax.jit(eval_batch)
 
     failed_all = np.zeros(M, bool)
+    per_g = np.zeros(M)
+    per_l = np.zeros(M)
     g_sum = l_sum = pa_sum = vel_sum = acc_sum = n_sum = 0.0
     key = jax.random.PRNGKey(0)
     for start in range(0, M, batch_size):
@@ -181,6 +187,9 @@ def im_eval(
         failed, sums = eval_batch_j(jnp.asarray(ids_p), k)
         failed = np.asarray(failed)[: len(ids)]
         failed_all[ids] = failed
+        n_b = np.maximum(np.asarray(sums["n"][: len(ids)]), 1.0)
+        per_g[ids] = 1000.0 * np.asarray(sums["g"][: len(ids)]) / n_b
+        per_l[ids] = 1000.0 * np.asarray(sums["l"][: len(ids)]) / n_b
         g_sum += float(jnp.sum(sums["g"][: len(ids)]))
         l_sum += float(jnp.sum(sums["l"][: len(ids)]))
         pa_sum += float(jnp.sum(sums["pa"][: len(ids)]))
@@ -197,4 +206,6 @@ def im_eval(
         vel_dist=1000.0 * vel_sum / n_sum,
         accel_dist=1000.0 * acc_sum / n_sum,
         failed_motions=failed_all,
+        per_motion_mpjpe_g=per_g,
+        per_motion_mpjpe_l=per_l,
     )

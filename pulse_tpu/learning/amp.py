@@ -148,17 +148,9 @@ class AMPModule:
         times = t0[:, None] - jnp.arange(steps, dtype=jnp.float32)[None, :] * dt
         flat_ids = jnp.repeat(ids, steps)
         st = get_motion_state(self.env.motion, flat_ids, times.reshape(-1))
-        obs = kernels.build_amp_observations_smpl(
-            st["root_pos"],
-            st["root_rot"],
-            st["root_vel"],
-            st["root_ang_vel"],
-            st["dof_pos"],
-            st["dof_vel"],
-            st["rg_pos"][:, self.env.key_body_ids],
-            local_root_obs=self.env.config.local_root_obs,
-            root_height_obs=self.env.config.root_height_obs,
-        )
+        # amp_obs_from_motion_state handles amp_obs_v + the shape/limb disc
+        # channels (zeros on the demo side: the store has no per-clip betas)
+        obs = self.env.amp_obs_from_motion_state(st)
         return obs.reshape(ids.shape[0], -1)
 
     def fetch_demo_enc_pair(self, key: jax.Array, n: int, enc_steps: int = 30):

@@ -86,9 +86,11 @@ class AMPAgent:
             and epoch % self.shape_resampling_interval == 1
             and getattr(self.env, "batched_model", None) is not None
         ):
-            self.env.enable_shape_variation(
-                jax.random.fold_in(jax.random.PRNGKey(17), epoch),
-                int(self.ppo.config.num_envs),
+            # resample_shapes replays the original enable_shape_variation
+            # arguments (SMPL model / beta_std), so an env built with
+            # per-env SMPL-beta skeletons stays in that mode
+            self.env.resample_shapes(
+                jax.random.fold_in(jax.random.PRNGKey(17), epoch)
             )
             self.needs_retrace = True
         return ts
@@ -98,7 +100,12 @@ class AMPAgent:
     def train_epoch(self, ts: AMPTrainState):
         roll = self.ppo.rollout_rnn if self.ppo.recurrent else self.ppo.rollout
         ppo_ts, traj, last_value = roll(ts.ppo)
+        return self.update_from_rollout(ts, ppo_ts, traj, last_value)
 
+    def update_from_rollout(self, ts: AMPTrainState, ppo_ts, traj, last_value):
+        """Everything after play_steps: reward mixing, PPO update, disc
+        update. Split out so the joint RL+kin agent can run its kin update
+        on the SAME rollout (≙ amp_agent.py:637-654)."""
         disc_r = self.amp.disc_reward(
             ts.amp, traj.amp_obs.reshape(-1, traj.amp_obs.shape[-1])
         ).reshape(traj.rewards.shape)
@@ -132,9 +139,12 @@ class JointTrainState:
 
 class JointAMPDistillAgent:
     """Joint RL + kin gradient mode (≙ amp_agent.py:637-654 when
-    only_kin_loss is False but save_kin_info is True): each epoch runs the
-    AMP/PPO update AND a behavior-cloning + KLD distillation step on the
-    same rollout's observations."""
+    only_kin_loss is False but save_kin_info is True): each epoch runs ONE
+    AMP rollout; the PPO/disc updates AND the behavior-cloning + KLD
+    distillation step both consume that rollout — kin labels are the frozen
+    teacher queried on the rollout's observations, exactly the reference's
+    kin_dict collected inside play_steps and consumed by _optimize_kin
+    (amp_agent.py:771-849)."""
 
     def __init__(self, amp_agent: AMPAgent, distill_agent):
         self.amp_agent = amp_agent
@@ -147,11 +157,31 @@ class JointAMPDistillAgent:
         )
 
     def pre_epoch(self, ts: JointTrainState, epoch: int) -> JointTrainState:
-        return ts.replace(amp=self.amp_agent.pre_epoch(ts.amp, epoch))
+        ts = ts.replace(amp=self.amp_agent.pre_epoch(ts.amp, epoch))
+        # surface the inner agent's retrace request — run.py reads it off
+        # whatever agent object it holds
+        self.needs_retrace = self.amp_agent.needs_retrace
+        return ts
 
     def train_epoch(self, ts: JointTrainState):
-        amp_ts, rl_metrics = self.amp_agent.train_epoch(ts.amp)
-        ds, kin_metrics = self.distill.train_epoch(ts.distill)
+        ppo = self.amp_agent.ppo
+        roll = ppo.rollout_rnn if ppo.recurrent else ppo.rollout
+        ppo_ts, traj, last_value = roll(ts.amp.ppo)
+        amp_ts, rl_metrics = self.amp_agent.update_from_rollout(
+            ts.amp, ppo_ts, traj, last_value
+        )
+        # kin gradient on the SAME rollout's (obs, teacher-label) pairs
+        ds = ts.distill
+        key, k_z = jax.random.split(ds.key)
+        z_noise = jax.random.normal(
+            k_z, traj.obs.shape[:-1] + (self.distill.network.latent_dim,)
+        )
+        kin_traj = {
+            "obs": traj.obs,
+            "gt_action": self.distill.teacher_fn(traj.obs),
+            "z_noise": z_noise,
+        }
+        ds, kin_metrics = self.distill.update(ds.replace(key=key), kin_traj)
         metrics = dict(rl_metrics)
         metrics.update({f"kin_{k}": v for k, v in kin_metrics.items()})
         return JointTrainState(amp=amp_ts, distill=ds), metrics

@@ -146,13 +146,16 @@ class DistillAgent:
             cfg.kld_coefficient_min - cfg.kld_coefficient
         )
 
-    def _loss(self, params, batch, obs_rms, epoch):
+    def _loss(self, params, batch, epoch):
         cfg = self.config
-        obs = batch["obs"]            # [n, T_pair=2, O]: (prev, curr) pairs
+        # obs arrive pre-normalized (and pre-cast to the network compute
+        # dtype) from update() — the stats are constant across the epoch's
+        # gradient steps, so normalizing once outside the minibatch scans
+        # is identical and cheaper
+        obs_n = batch["obs"]          # [n, T_pair=2, O]: (prev, curr) pairs
         z_noise = batch["z_noise"]
         gt = batch["gt_action"]
 
-        obs_n = obs_rms.normalize(obs) if cfg.normalize_input else obs
         out_prev = self.network.apply({"params": params}, obs_n[:, 0], z_noise[:, 0])
         out = self.network.apply({"params": params}, obs_n[:, 1], z_noise[:, 1])
 
@@ -183,21 +186,29 @@ class DistillAgent:
 
     def update(self, ds: DistillState, traj) -> tuple[DistillState, dict]:
         cfg = self.config
-        T = cfg.horizon_length
-        B = traj["obs"].shape[1]
+        # derive from the trajectory, not the config: in joint RL+kin mode
+        # the rollout comes from the AMP agent (its own horizon)
+        T, B = traj["obs"].shape[:2]
         # consecutive (t-1, t) pairs for the AR1 prior
         def pair(x):
             return jnp.stack([x[:-1], x[1:]], axis=2).reshape(
                 (T - 1) * B, 2, *x.shape[2:]
             )
 
-        flat = {k: pair(v) for k, v in traj.items()}
-        N = flat["obs"].shape[0]
         obs_rms = (
             ds.obs_rms.update(traj["obs"].reshape(-1, traj["obs"].shape[-1]))
             if cfg.normalize_input
             else ds.obs_rms
         )
+        if cfg.normalize_input:
+            traj = dict(traj)
+            o = obs_rms.normalize(traj["obs"])
+            net_dtype = getattr(self.network, "dtype", None)
+            if net_dtype is not None:
+                o = o.astype(net_dtype)
+            traj["obs"] = o
+        flat = {k: pair(v) for k, v in traj.items()}
+        N = flat["obs"].shape[0]
         mb = min(cfg.minibatch_size, N)
         num_mb = N // mb
 
@@ -212,7 +223,7 @@ class DistillAgent:
                     lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb), shuffled
                 )
                 (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                    params, batch, obs_rms, ds.epoch
+                    params, batch, ds.epoch
                 )
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)

@@ -214,10 +214,12 @@ class Encoder(nn.Module):
     latent_dim: int = 32
     units: Sequence[int] = (2048, 1536, 1024)
     activation: str = "silu"
+    dtype: object = None          # bf16 trunk for training; heads stay f32
 
     @nn.compact
     def __call__(self, obs):
-        h = MLP(self.units, self.activation)(obs)
+        h = MLP(self.units, self.activation, dtype=self.dtype)(obs)
+        h = h.astype(jnp.float32)
         h = nn.Dense(self.latent_dim * 5, name="z_proj")(h)
         z_mu = nn.Dense(self.latent_dim, name="z_mu")(h)
         z_logvar = nn.Dense(self.latent_dim, name="z_logvar")(h)
@@ -233,10 +235,12 @@ class Prior(nn.Module):
     units: Sequence[int] = (1024, 512)
     activation: str = "silu"
     logvar_clamp_max: float = 2.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, self_obs):
-        h = MLP(self.units, self.activation)(self_obs)
+        h = MLP(self.units, self.activation, dtype=self.dtype)(self_obs)
+        h = h.astype(jnp.float32)
         mu = nn.Dense(self.latent_dim, name="prior_mu")(h)
         logvar = jnp.clip(
             nn.Dense(self.latent_dim, name="prior_logvar")(h),
@@ -252,11 +256,14 @@ class Decoder(nn.Module):
     action_dim: int
     units: Sequence[int] = (1024, 1024, 512)
     activation: str = "silu"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, self_obs, z):
-        h = MLP(self.units, self.activation)(jnp.concatenate([self_obs, z], axis=-1))
-        return nn.Dense(self.action_dim)(h)
+        h = MLP(self.units, self.activation, dtype=self.dtype)(
+            jnp.concatenate([self_obs, z], axis=-1)
+        )
+        return nn.Dense(self.action_dim)(h.astype(jnp.float32))
 
 
 class ZEmbedding(nn.Module):
@@ -323,12 +330,21 @@ class PulseVAE(nn.Module):
     critic_units: Sequence[int] = (2048, 1536, 1024)
     activation: str = "silu"
     init_sigma: float = -2.9
+    # None (f32) by default so reference .pth imports stay bit-faithful;
+    # the training builder passes bf16 (2x MXU on the distill update)
+    dtype: object = None
 
     def setup(self):
-        self.encoder = Encoder(self.latent_dim, self.encoder_units, self.activation)
-        self.prior = Prior(self.latent_dim, self.prior_units, self.activation)
-        self.decoder = Decoder(self.action_dim, self.decoder_units, self.activation)
-        self.critic = MLP(self.critic_units, self.activation)
+        self.encoder = Encoder(
+            self.latent_dim, self.encoder_units, self.activation, self.dtype
+        )
+        self.prior = Prior(
+            self.latent_dim, self.prior_units, self.activation, dtype=self.dtype
+        )
+        self.decoder = Decoder(
+            self.action_dim, self.decoder_units, self.activation, self.dtype
+        )
+        self.critic = MLP(self.critic_units, self.activation, dtype=self.dtype)
         self.critic_head = nn.Dense(1)
 
     def __call__(self, obs, z_noise):
@@ -339,7 +355,7 @@ class PulseVAE(nn.Module):
         z = post_mu + jnp.exp(0.5 * post_logvar) * z_noise
         # vae-prior shift: decode around the prior mean (humanoid_z.py:100-104)
         action = self.decoder(self_obs, prior_mu + z)
-        value = self.critic_head(self.critic(obs))[..., 0]
+        value = self.critic_head(self.critic(obs).astype(jnp.float32))[..., 0]
         return {
             "action_mu": action,
             "post_mu": post_mu,
@@ -359,7 +375,7 @@ class PulseVAE(nn.Module):
         return self.prior(self_obs)
 
     def value(self, obs):
-        return self.critic_head(self.critic(obs))[..., 0]
+        return self.critic_head(self.critic(obs).astype(jnp.float32))[..., 0]
 
 
 class SeptActorCritic(nn.Module):

@@ -422,41 +422,42 @@ class PPOAgent:
 
     def compute_gae(self, traj: Rollout, last_value: jax.Array):
         """≙ discount_values (common_agent.py:480-490): early termination
-        zeroes the bootstrap; episode-end (timeout) keeps it."""
+        zeroes the bootstrap; episode-end (timeout) keeps it.
+
+        The backward recurrence a_t = delta_t + c_t * a_{t+1} is a linear
+        first-order recurrence, solved with an associative scan (log2(T)
+        parallel passes) instead of T sequential scan steps — the
+        sequential version cost ~10 ms/epoch of launch-bound tiny kernels
+        on v5e (tools/profile_train.py)."""
         cfg = self.config
-
-        def scan_fn(carry, t):
-            last_gae = carry
-            not_term = 1.0 - t["terminate"]
-            not_done = 1.0 - t["done"]
-            delta = t["reward"] + cfg.gamma * t["next_value"] * not_term - t["value"]
-            last_gae = delta + cfg.gamma * cfg.tau * not_done * last_gae
-            return last_gae, last_gae
-
         next_values = jnp.concatenate([traj.values[1:], last_value[None]], axis=0)
         # the value after a done belongs to the NEXT episode; bootstrap with
         # the pre-reset convention of the reference: next_value comes from the
         # stored next obs value, masked by terminate
-        xs = {
-            "reward": traj.rewards,
-            "value": traj.values,
-            "next_value": next_values,
-            "terminate": traj.terminates.astype(jnp.float32),
-            "done": traj.dones.astype(jnp.float32),
-        }
-        _, advantages = jax.lax.scan(
-            scan_fn, jnp.zeros_like(last_value), jax.tree.map(lambda x: x[::-1], xs)
-        )
-        advantages = advantages[::-1]
+        not_term = 1.0 - traj.terminates.astype(jnp.float32)
+        not_done = 1.0 - traj.dones.astype(jnp.float32)
+        delta = traj.rewards + cfg.gamma * next_values * not_term - traj.values
+        c = cfg.gamma * cfg.tau * not_done
+
+        def combine(earlier, later):
+            c_a, d_a = earlier
+            c_b, d_b = later
+            return c_a * c_b, d_b + c_b * d_a
+
+        # reversed time: x_k = c_k x_{k-1} + d_k with x_{-1} = 0; the scan's
+        # cumulative affine composition applied to 0 is the d component
+        _, adv_rev = jax.lax.associative_scan(combine, (c[::-1], delta[::-1]))
+        advantages = adv_rev[::-1]
         returns = advantages + traj.values
         return advantages, returns
 
     # ------------------------------------------------------------------ #
 
-    def _loss(self, params, batch, obs_rms, value_rms):
+    def _loss(self, params, batch, value_rms):
         cfg = self.config
-        obs_norm = obs_rms.normalize(batch["obs"]) if cfg.normalize_input else batch["obs"]
-        mu, log_sigma, value_norm = self._apply(params, obs_norm)
+        # obs arrive pre-normalized (and pre-cast to the network compute
+        # dtype) from update() — see the comment there
+        mu, log_sigma, value_norm = self._apply(params, batch["obs_norm"])
         neglogp = gaussian_neglogp(mu, log_sigma, batch["actions"])
 
         ratio = jnp.exp(batch["neglogp"] - neglogp)
@@ -497,15 +498,27 @@ class PPOAgent:
         cfg = self.config
         T, B = traj.rewards.shape
         N = T * B
+        flat_obs = traj.obs.reshape(N, -1)
+        obs_rms = ts.obs_rms.update(flat_obs) if cfg.normalize_input else ts.obs_rms
+        loss_obs_rms = ts.obs_rms if cfg.temp_running_mean else obs_rms
+        # Normalize ONCE per epoch with the loss stats (constant across all
+        # mini-epoch/minibatch steps) instead of inside every gradient step,
+        # and store in the network's compute dtype: with a bf16 trunk the
+        # first Dense casts its input to bf16 anyway, so values are
+        # bit-identical while the 6x shuffle gathers move half the bytes.
+        obs_for_loss = (
+            loss_obs_rms.normalize(flat_obs) if cfg.normalize_input else flat_obs
+        )
+        net_dtype = getattr(self.network, "dtype", None)
+        if net_dtype is not None:
+            obs_for_loss = obs_for_loss.astype(net_dtype)
         flat = {
-            "obs": traj.obs.reshape(N, -1),
+            "obs_norm": obs_for_loss,
             "actions": traj.actions.reshape(N, -1),
             "neglogp": traj.neglogp.reshape(N),
             "advantages": advantages.reshape(N),
             "returns": returns.reshape(N),
         }
-        obs_rms = ts.obs_rms.update(flat["obs"]) if cfg.normalize_input else ts.obs_rms
-        loss_obs_rms = ts.obs_rms if cfg.temp_running_mean else obs_rms
         value_rms = (
             ts.value_rms.update(returns.reshape(N, 1))
             if cfg.normalize_value
@@ -531,7 +544,7 @@ class PPOAgent:
                 )
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss, has_aux=True
-                )(params, batch, loss_obs_rms, value_rms)
+                )(params, batch, value_rms)
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics

@@ -79,3 +79,162 @@ def make_synthetic_clips(
             {"fps": fps, "local_rotation": local_rot, "root_translation": root_translation}
         )
     return clips
+
+
+def _qmul(a, b):
+    """xyzw quaternion product, numpy, broadcasting over leading dims."""
+    ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack(
+        [
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+
+def make_hard_clips(tree: SkeletonTree, fps: float = 30.0) -> tuple[list[dict], list[str]]:
+    """The HARD synthetic benchmark suite: deterministic clips with the
+    dynamic content the easy walking clips lack — fast running, spins,
+    jumps, getting up from supine, sharp turns, crouch-walking.
+
+    Plays the role of the reference's AMASS eval sweep
+    (phc/learning/im_amp.py:136-363) as a hermetic, committed stress set:
+    tools/bench_quality.py trains on these and reports per-clip
+    success/MPJPE against committed targets (QUALITY.md).
+
+    Returns (clips, names); clip dicts match make_synthetic_clips."""
+    J = tree.num_joints
+    names = tree.node_names
+
+    def base(T):
+        lr = np.tile(np.asarray([0, 0, 0, 1.0], np.float32), (T, J, 1))
+        return lr
+
+    def set_joint(lr, name, axis, angle):
+        if name in names:
+            lr[:, names.index(name)] = _aa(axis, angle)
+
+    clips, clip_names = [], []
+
+    def add(name, lr, root_t):
+        clips.append(
+            {
+                "fps": fps,
+                "local_rotation": lr.astype(np.float32),
+                "root_translation": root_t.astype(np.float32),
+            }
+        )
+        clip_names.append(name)
+
+    # 1. fast run: 3.5 m/s, 2.4 Hz stride, large hip/knee excursion
+    T = int(3.0 * fps) + 1
+    t = np.arange(T) / fps
+    ph = 2 * np.pi * 2.4 * t
+    lr = base(T)
+    set_joint(lr, "L_Hip", [0, 1, 0], 0.75 * np.sin(ph))
+    set_joint(lr, "R_Hip", [0, 1, 0], -0.75 * np.sin(ph))
+    set_joint(lr, "L_Knee", [0, 1, 0], 1.1 * np.clip(np.sin(ph + np.pi / 2), 0, None))
+    set_joint(lr, "R_Knee", [0, 1, 0], 1.1 * np.clip(-np.sin(ph + np.pi / 2), 0, None))
+    set_joint(lr, "L_Ankle", [0, 1, 0], 0.3 * np.sin(ph + np.pi))
+    set_joint(lr, "R_Ankle", [0, 1, 0], -0.3 * np.sin(ph + np.pi))
+    set_joint(lr, "L_Shoulder", [0, 1, 0], -0.6 * np.sin(ph))
+    set_joint(lr, "R_Shoulder", [0, 1, 0], 0.6 * np.sin(ph))
+    set_joint(lr, "L_Elbow", [0, 1, 0], 0.5 * (1 + np.sin(ph)))
+    set_joint(lr, "R_Elbow", [0, 1, 0], 0.5 * (1 - np.sin(ph)))
+    root = np.stack(
+        [3.5 * t, np.zeros(T), 0.93 + 0.04 * np.sin(2 * ph)], axis=-1
+    )
+    add("fast_run", lr, root)
+
+    # 2. spin: two full in-place yaw turns in 3 s, arms out
+    T = int(3.0 * fps) + 1
+    t = np.arange(T) / fps
+    lr = base(T)
+    yaw = 2 * np.pi * (2.0 / 3.0) * t
+    lr[:, 0] = _aa([0, 0, 1], yaw)
+    set_joint(lr, "L_Shoulder", [1, 0, 0], np.full(T, -1.2))
+    set_joint(lr, "R_Shoulder", [1, 0, 0], np.full(T, 1.2))
+    root = np.stack([np.zeros(T), np.zeros(T), np.full(T, 0.93)], axis=-1)
+    add("spin", lr, root)
+
+    # 3. jump: periodic crouch + ballistic-ish flight (1 Hz)
+    T = int(3.0 * fps) + 1
+    t = np.arange(T) / fps
+    lr = base(T)
+    ph = 2 * np.pi * 1.0 * t
+    crouch = 0.9 * np.clip(-np.sin(ph), 0, None)     # knees bend in the dip
+    flight = 0.30 * np.clip(np.sin(ph), 0, None) ** 2
+    set_joint(lr, "L_Hip", [0, 1, 0], -0.7 * crouch)
+    set_joint(lr, "R_Hip", [0, 1, 0], -0.7 * crouch)
+    set_joint(lr, "L_Knee", [0, 1, 0], 1.2 * crouch)
+    set_joint(lr, "R_Knee", [0, 1, 0], 1.2 * crouch)
+    set_joint(lr, "L_Ankle", [0, 1, 0], -0.5 * crouch)
+    set_joint(lr, "R_Ankle", [0, 1, 0], -0.5 * crouch)
+    set_joint(lr, "L_Shoulder", [0, 1, 0], -1.0 * crouch + 0.8 * flight / 0.3)
+    set_joint(lr, "R_Shoulder", [0, 1, 0], -1.0 * crouch + 0.8 * flight / 0.3)
+    z = 0.93 - 0.25 * crouch + flight
+    root = np.stack([0.3 * t, np.zeros(T), z], axis=-1)
+    add("jump", lr, root)
+
+    # 4. getup from supine: lie on the back, roll up to standing over 4 s
+    T = int(4.0 * fps) + 1
+    t = np.arange(T) / fps
+    lr = base(T)
+    # progress 0 -> 1 with smoothstep; pitch -pi/2 (supine) -> 0 (upright)
+    s = np.clip(t / 3.0, 0.0, 1.0)
+    s = s * s * (3 - 2 * s)
+    pitch = -(np.pi / 2) * (1.0 - s)
+    lr[:, 0] = _aa([0, 1, 0], pitch)
+    # knees/hips tuck through the middle of the motion
+    tuck = np.sin(np.pi * s) * 1.2
+    set_joint(lr, "L_Hip", [0, 1, 0], -0.8 * tuck)
+    set_joint(lr, "R_Hip", [0, 1, 0], -0.8 * tuck)
+    set_joint(lr, "L_Knee", [0, 1, 0], tuck)
+    set_joint(lr, "R_Knee", [0, 1, 0], tuck)
+    z = 0.15 + (0.93 - 0.15) * s
+    root = np.stack([np.zeros(T), np.zeros(T), z], axis=-1)
+    add("getup_supine", lr, root)
+
+    # 5. sharp turns: 1.6 m/s walk, 90-degree heading flips every second
+    T = int(4.0 * fps) + 1
+    t = np.arange(T) / fps
+    ph = 2 * np.pi * 1.6 * t
+    lr = base(T)
+    seg = np.minimum((t // 1.0).astype(int), 3)
+    head_targets = np.asarray([0.0, np.pi / 2, 0.0, -np.pi / 2])
+    frac = np.clip((t % 1.0) / 0.25, 0, 1)  # quarter-second blend
+    prev = head_targets[np.maximum(seg - 1, 0)]
+    heading = prev + (head_targets[seg] - prev) * frac
+    lr[:, 0] = _aa([0, 0, 1], heading)
+    set_joint(lr, "L_Hip", [0, 1, 0], 0.5 * np.sin(ph))
+    set_joint(lr, "R_Hip", [0, 1, 0], -0.5 * np.sin(ph))
+    set_joint(lr, "L_Knee", [0, 1, 0], 0.6 * np.clip(np.sin(ph + np.pi / 2), 0, None))
+    set_joint(lr, "R_Knee", [0, 1, 0], 0.6 * np.clip(-np.sin(ph + np.pi / 2), 0, None))
+    set_joint(lr, "L_Shoulder", [0, 1, 0], -0.4 * np.sin(ph))
+    set_joint(lr, "R_Shoulder", [0, 1, 0], 0.4 * np.sin(ph))
+    direction = np.stack([np.cos(heading), np.sin(heading)], axis=-1)
+    xy = np.cumsum(1.6 * direction / fps, axis=0)
+    root = np.concatenate(
+        [xy, (0.93 + 0.02 * np.sin(2 * ph))[:, None]], axis=-1
+    )
+    add("sharp_turns", lr, root)
+
+    # 6. crouch walk: pelvis at 0.62 m, deep flexion, 0.8 m/s
+    T = int(4.0 * fps) + 1
+    t = np.arange(T) / fps
+    ph = 2 * np.pi * 1.2 * t
+    lr = base(T)
+    set_joint(lr, "L_Hip", [0, 1, 0], -0.8 + 0.35 * np.sin(ph))
+    set_joint(lr, "R_Hip", [0, 1, 0], -0.8 - 0.35 * np.sin(ph))
+    set_joint(lr, "L_Knee", [0, 1, 0], 1.5 + 0.3 * np.sin(ph + np.pi / 2))
+    set_joint(lr, "R_Knee", [0, 1, 0], 1.5 - 0.3 * np.sin(ph + np.pi / 2))
+    set_joint(lr, "L_Ankle", [0, 1, 0], np.full(T, -0.6))
+    set_joint(lr, "R_Ankle", [0, 1, 0], np.full(T, -0.6))
+    root = np.stack([0.8 * t, np.zeros(T), np.full(T, 0.62)], axis=-1)
+    add("crouch_walk", lr, root)
+
+    return clips, clip_names

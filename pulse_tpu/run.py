@@ -99,6 +99,8 @@ def build_env_from_cfg(cfg, model, motion):
             occlusion_prob=float(e.get("occlusion_prob", 0.0)),
             occlusion_frac=float(e.get("occlusion_frac", 0.25)),
             num_amp_obs_steps=int(e.get("num_amp_obs_steps", 10)),
+            amp_obs_v=int(e.get("amp_obs_v", 1)),
+            has_shape_obs_disc=bool(e.get("has_shape_obs_disc", False)),
             use_pallas_physics=bool(e.get("use_pallas_physics", True)),
             has_shape_obs=bool(e.get("has_shape_obs", False)),
             has_limb_weight_obs=bool(e.get("has_limb_weight_obs", False)),
@@ -329,6 +331,9 @@ def build_agent_from_cfg(cfg, env):
             encoder_units=tuple(l["encoder_units"]),
             prior_units=tuple(l["prior_units"]),
             decoder_units=tuple(l["decoder_units"]),
+            # bf16 trunks (f32 params/heads): 2x MXU on the distill update;
+            # .pth-imported eval nets stay f32 (see PulseVAE.dtype)
+            dtype=None if bool(l.get("full_precision", False)) else jnp.bfloat16,
         )
         teacher = build_teacher_from_cfg(cfg, env)
         return DistillAgent(env, teacher, dc, net)
@@ -559,7 +564,6 @@ def run_eval(cfg, env, agent, ts):
     get the episode-return player (≙ amp_players.py run loop)."""
     import dataclasses as _dc
 
-    from pulse_tpu.env.humanoid_z import ZActionWrapper
     from pulse_tpu.eval import im_eval
     from pulse_tpu.eval.task_eval import task_eval
 
@@ -572,19 +576,13 @@ def run_eval(cfg, env, agent, ts):
         return result
 
     # imitation env: early termination off so mid-clip auto-resets don't
-    # pollute the MPJPE accumulation (failure is latched separately)
+    # pollute the MPJPE accumulation (failure is latched separately).
+    # with_config preserves subclass ctor args (termination_height, pnn, …)
+    # and rewraps ZActionWrapper around the rebuilt inner env.
     if getattr(env.config, "enable_early_termination", False):
-        if isinstance(env, ZActionWrapper):
-            inner = type(env.env)(
-                env.env.model, env.env.motion,
-                _dc.replace(env.env.config, enable_early_termination=False),
-            )
-            env = ZActionWrapper(inner, env.network, env.frozen)
-        else:
-            env = type(env)(
-                env.model, env.motion,
-                _dc.replace(env.config, enable_early_termination=False),
-            )
+        env = env.with_config(
+            _dc.replace(env.config, enable_early_termination=False)
+        )
 
     result = im_eval(env, policy_fn, batch_size=int(cfg["num_envs"]))
     print(json.dumps(dataclass_to_dict(result), indent=2))
@@ -594,9 +592,13 @@ def run_eval(cfg, env, agent, ts):
 def dataclass_to_dict(d):
     import dataclasses as dc
 
+    import numpy as _np
+
     out = dc.asdict(d)
-    out["failed_motions"] = out["failed_motions"].tolist()
-    return out
+    return {
+        k: v.tolist() if isinstance(v, _np.ndarray) else v
+        for k, v in out.items()
+    }
 
 
 if __name__ == "__main__":

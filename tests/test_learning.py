@@ -434,3 +434,54 @@ class TestCNN:
         obs2 = obs.at[:, -64:].add(1.0)
         mu2, _, _ = net.apply({"params": params}, obs2)
         assert np.abs(np.asarray(mu - mu2)).max() > 1e-6
+
+
+class TestGAEAssociativeScan:
+    def test_matches_sequential_reference(self):
+        """compute_gae's associative-scan recurrence must equal the naive
+        sequential backward scan (the reference's discount_values loop,
+        common_agent.py:480-490) to float tolerance."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from pulse_tpu.learning.ppo import PPOAgent, PPOConfig, Rollout
+
+        rng = np.random.RandomState(0)
+        T, B = 17, 5
+        rewards = rng.randn(T, B).astype(np.float32)
+        values = rng.randn(T, B).astype(np.float32)
+        last_value = rng.randn(B).astype(np.float32)
+        dones = (rng.rand(T, B) < 0.2)
+        terms = dones & (rng.rand(T, B) < 0.5)
+        cfg = PPOConfig(gamma=0.97, tau=0.9)
+
+        class _Env:
+            obs_dim = 3
+            action_dim = 2
+
+            def reset(self, keys):
+                raise NotImplementedError
+
+        agent = PPOAgent.__new__(PPOAgent)
+        agent.config = cfg
+        traj = Rollout(
+            obs=jnp.zeros((T, B, 3)), actions=jnp.zeros((T, B, 2)),
+            neglogp=jnp.zeros((T, B)), values=jnp.asarray(values),
+            rewards=jnp.asarray(rewards), dones=jnp.asarray(dones),
+            terminates=jnp.asarray(terms), amp_obs=jnp.zeros((T, B, 1)),
+            mus=jnp.zeros((T, B, 2)),
+        )
+        adv, ret = agent.compute_gae(traj, jnp.asarray(last_value))
+
+        # naive sequential reference
+        next_values = np.concatenate([values[1:], last_value[None]], 0)
+        want = np.zeros((T, B), np.float32)
+        last_gae = np.zeros(B, np.float32)
+        for t in reversed(range(T)):
+            nt = 1.0 - terms[t].astype(np.float32)
+            nd = 1.0 - dones[t].astype(np.float32)
+            delta = rewards[t] + cfg.gamma * next_values[t] * nt - values[t]
+            last_gae = delta + cfg.gamma * cfg.tau * nd * last_gae
+            want[t] = last_gae
+        np.testing.assert_allclose(np.asarray(adv), want, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ret), want + values, atol=1e-5)

@@ -327,6 +327,47 @@ class TestEnvKernels:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=ATOL)
 
+    @pytest.mark.parametrize("shape_channels", [False, True])
+    def test_build_amp_observations_smpl_v2(self, shape_channels):
+        """≙ humanoid_amp.py:973-1017: v1 + heading-local key-body
+        velocities (+ shape/limb trailing channels when flagged)."""
+        ks = rs.extract_kernels(
+            "phc/env/tasks/humanoid_amp.py", ["build_amp_observations_smpl_v2"]
+        )
+        rng = np.random.RandomState(26)
+        root_pos = rng.randn(B, 3).astype(np.float32)
+        root_rot = rand_quats(rng, B)
+        root_vel = rng.randn(B, 3).astype(np.float32)
+        root_avel = rng.randn(B, 3).astype(np.float32)
+        dof_pos = rng.uniform(-2, 2, (B, D)).astype(np.float32)
+        dof_vel = rng.randn(B, D).astype(np.float32)
+        key_pos = rng.randn(B, KB, 3).astype(np.float32)
+        key_vel = rng.randn(B, KB, 3).astype(np.float32)
+        if shape_channels:
+            shape_p = rng.randn(B, 11).astype(np.float32)
+            limb_p = rng.randn(B, 10).astype(np.float32)
+            t_shape, t_limb = t(shape_p), t(limb_p)
+            j_shape, j_limb = j(shape_p), j(limb_p)
+        else:
+            t_shape = t_limb = torch.zeros(B, 0)
+            j_shape = j_limb = None
+        want = ks["build_amp_observations_smpl_v2"](
+            t(root_pos), t(root_rot), t(root_vel), t(root_avel),
+            t(dof_pos), t(dof_vel), t(key_pos), t(key_vel), t_shape, t_limb,
+            torch.arange(D), True, True, False, shape_channels,
+            shape_channels, True,
+        ).numpy()
+        got = np.asarray(
+            K.build_amp_observations_smpl_v2(
+                j(root_pos), j(root_rot), j(root_vel), j(root_avel),
+                j(dof_pos), j(dof_vel), j(key_pos), j(key_vel),
+                local_root_obs=True, root_height_obs=True,
+                shape_params=j_shape, limb_weight_params=j_limb,
+            )
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=ATOL)
+
 
 # --------------------------------------------------------------------------- #
 # layer 3: kinematics vs live poselib
@@ -543,4 +584,90 @@ class TestTaskKernels:
         want_r = ks["compute_location_reward"](t(root_states[:, 0:3]), t(tar)).numpy()
         d = j(tar)[:, 0:2] - j(root_states[:, 0:2])
         got_r = np.asarray(jnp.exp(-2.0 * jnp.sum(d * d, -1)))
+        np.testing.assert_allclose(got_r, want_r, atol=1e-5)
+
+    def test_reach(self):
+        """≙ humanoid_reach.py:224-247 (obs + reward; ours inlined in
+        HumanoidReachEnv._task_obs/_task_reward)."""
+        ks = rs.extract_kernels(
+            "phc/env/tasks/humanoid_reach.py",
+            ["compute_location_observations", "compute_reach_reward"],
+        )
+        rng = np.random.RandomState(52)
+        root_states = rng.randn(B, 13).astype(np.float32)
+        root_states[:, 3:7] = rand_quats(rng, B)
+        tar = rng.randn(B, 3).astype(np.float32)
+        want = ks["compute_location_observations"](t(root_states), t(tar)).numpy()
+        heading_inv = q.calc_heading_quat_inv(j(root_states[:, 3:7]))
+        got = np.asarray(
+            q.quat_rotate(heading_inv, j(tar) - j(root_states[:, 0:3]))
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        body_pos = rng.randn(B, 3).astype(np.float32)
+        want_r = ks["compute_reach_reward"](
+            t(body_pos), t(root_states[:, 3:7]), t(tar), 1.0, 1.0 / 30.0
+        ).numpy()
+        err = jnp.sum((j(tar) - j(body_pos)) ** 2, -1)
+        got_r = np.asarray(jnp.exp(-4.0 * err))
+        np.testing.assert_allclose(got_r, want_r, atol=1e-5)
+
+    def test_strike(self):
+        """≙ humanoid_strike.py:270-328 (obs + reward; ours inlined in
+        HumanoidStrikeEnv._task_obs/_task_reward)."""
+        ks = rs.extract_kernels(
+            "phc/env/tasks/humanoid_strike.py",
+            ["compute_strike_observations", "compute_strike_reward"],
+        )
+        rng = np.random.RandomState(53)
+        root_states = rng.randn(B, 13).astype(np.float32)
+        root_states[:, 3:7] = rand_quats(rng, B)
+        tar_states = rng.randn(B, 13).astype(np.float32)
+        tar_states[:, 3:7] = rand_quats(rng, B)
+        want = ks["compute_strike_observations"](t(root_states), t(tar_states)).numpy()
+        heading_inv = q.calc_heading_quat_inv(j(root_states[:, 3:7]))
+        local_pos = j(tar_states[:, 0:3]) - j(root_states[:, 0:3])
+        local_pos = local_pos.at[:, 2].set(j(tar_states[:, 2]))
+        got = np.asarray(
+            jnp.concatenate(
+                [
+                    q.quat_rotate(heading_inv, local_pos),
+                    q.quat_to_tan_norm(
+                        q.quat_mul(heading_inv, j(tar_states[:, 3:7]))
+                    ),
+                    q.quat_rotate(heading_inv, j(tar_states[:, 7:10])),
+                    q.quat_rotate(heading_inv, j(tar_states[:, 10:13])),
+                ],
+                axis=-1,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        prev_root_pos = root_states[:, 0:3] - 0.03 * rng.randn(B, 3).astype(
+            np.float32
+        )
+        strike_body_vel = rng.randn(B, 3).astype(np.float32)
+        dt = 1.0 / 30.0
+        want_r = ks["compute_strike_reward"](
+            t(tar_states[:, 0:3]), t(tar_states[:, 3:7]), t(root_states),
+            t(prev_root_pos), t(strike_body_vel), dt, 1.5,
+        ).numpy()
+        # ours (humanoid_strike.py _task_reward, batched form)
+        up = jnp.asarray([0.0, 0.0, 1.0])
+        tar_up = q.quat_rotate(j(tar_states[:, 3:7]), jnp.broadcast_to(up, (B, 3)))
+        tar_rot_err = tar_up[:, 2]
+        tar_rot_r = jnp.maximum(1.0 - tar_rot_err, 0.0)
+        tar_dir = j(tar_states[:, 0:2]) - j(root_states[:, 0:2])
+        tar_dir = tar_dir / jnp.maximum(
+            jnp.linalg.norm(tar_dir, axis=-1, keepdims=True), 1e-6
+        )
+        root_vel = (j(root_states[:, 0:3]) - j(prev_root_pos)) / dt
+        tar_dir_speed = jnp.sum(tar_dir * root_vel[:, 0:2], -1)
+        vel_err = jnp.maximum(1.0 - tar_dir_speed, 0.0)
+        vel_r = jnp.where(
+            tar_dir_speed <= 0, 0.0, jnp.exp(-4.0 * vel_err * vel_err)
+        )
+        got_r = np.asarray(
+            jnp.where(tar_rot_err < 0.2, 1.0, 0.6 * tar_rot_r + 0.4 * vel_r)
+        )
         np.testing.assert_allclose(got_r, want_r, atol=1e-5)

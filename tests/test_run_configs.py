@@ -119,3 +119,96 @@ class TestKnobPlumbing:
         env = self._env("env.control_mode=force", "env.power_scale=0.5")
         assert env.config.control_mode == "force"
         assert env.config.power_scale == 0.5
+
+
+class TestWithConfig:
+    """run_eval rebuilds envs via with_config; subclass ctor args and
+    post-construction state must survive (round-2 VERDICT weak #6)."""
+
+    @pytest.mark.parametrize("env_name", ENVS + ["amp_getup"])
+    def test_with_config_preserves_type_and_args(self, env_name):
+        import dataclasses as dc
+
+        cfg = load_config([f"env={env_name}", "num_envs=2"])
+        spec, model = run_mod.build_model_from_cfg(cfg)
+        motion = run_mod.build_motion_from_cfg(cfg, spec)
+        env = run_mod.build_env_from_cfg(cfg, model, motion)
+        inner = getattr(env, "env", env)  # unwrap Z
+        new = env.with_config(
+            dc.replace(inner.config, enable_early_termination=False)
+        )
+        new_inner = getattr(new, "env", new)
+        assert type(new) is type(env)
+        assert type(new_inner) is type(inner)
+        assert not new_inner.config.enable_early_termination
+        assert new.obs_dim == env.obs_dim
+        assert new.action_dim == env.action_dim
+        # subclass ctor args survive the rebuild
+        for attr in ("termination_height", "strike_bodies", "sensor_mode"):
+            if hasattr(inner, attr):
+                assert getattr(new_inner, attr) == getattr(inner, attr)
+
+    def test_with_config_keeps_shape_variation(self):
+        import dataclasses as dc
+        import jax as _jax
+
+        cfg = load_config(["env=im", "num_envs=2", "env.shape_variation=true"])
+        spec, model = run_mod.build_model_from_cfg(cfg)
+        motion = run_mod.build_motion_from_cfg(cfg, spec)
+        env = run_mod.build_env_from_cfg(cfg, model, motion)
+        assert env.batched_model is not None
+        new = env.with_config(
+            dc.replace(env.config, enable_early_termination=False)
+        )
+        assert new.batched_model is not None
+        # resample still works on the rebuilt env (args carried over)
+        new.resample_shapes(_jax.random.PRNGKey(3))
+
+
+class TestAmpObsV2:
+    """amp_obs_v=2 disc obs (≙ build_amp_observations_smpl_v2,
+    humanoid_amp.py:973-1017): key-body velocity channel + shape/limb
+    trailing channels wiring."""
+
+    def _env(self, *ov):
+        cfg = load_config(["env=im", "num_envs=2", *ov])
+        spec, model = run_mod.build_model_from_cfg(cfg)
+        motion = run_mod.build_motion_from_cfg(cfg, spec)
+        return run_mod.build_env_from_cfg(cfg, model, motion)
+
+    def test_dims_and_reset(self):
+        import numpy as np
+
+        e1 = self._env()
+        env = self._env("env.amp_obs_v=2")
+        K = len(env.key_body_ids)
+        assert env.amp_obs_dim_single == e1.amp_obs_dim_single + 3 * K
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        state = env.reset(keys)
+        assert state.amp_obs.shape == (2, env.amp_obs_dim)
+        assert np.all(np.isfinite(np.asarray(state.amp_obs)))
+        out = env.step(state, 0.0 * state.obs[:, : env.action_dim])
+        assert np.all(np.isfinite(np.asarray(out.amp_obs)))
+
+    def test_disc_shape_channels(self):
+        import numpy as np
+
+        env = self._env(
+            "env.amp_obs_v=2", "env.has_shape_obs=true",
+            "env.has_shape_obs_disc=true", "env.has_limb_weight_obs=true",
+            "env.shape_variation=true",
+        )
+        e0 = self._env("env.amp_obs_v=2")
+        assert env.amp_obs_dim_single == e0.amp_obs_dim_single + 11 + 10
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        state = env.reset(keys)
+        assert np.all(np.isfinite(np.asarray(state.amp_obs)))
+        # the two envs carry different shapes -> different disc rows
+        rows = np.asarray(state.amp_hist[:, 0, -21:])
+        assert not np.allclose(rows[0], rows[1])
+
+    def test_disc_flag_requires_shape_obs(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._env("env.has_shape_obs_disc=true")
