@@ -47,16 +47,17 @@ def main():
     ref = jax.jit(jax.vmap(physics_step, in_axes=(None, 0, 0)))(model, state, pd)
     jax.block_until_ready(ref)
 
-    # Tolerances are loose at the max because stiff penalty contacts amplify
-    # Mosaic-vs-XLA transcendental rounding (~1e-6 base) in the few envs at
-    # force saturation; the medians are the semantic check. Measured on v5e:
-    # root_pos max 2.7e-3 / median 4e-5, body_vel max 0.65 / median 6e-3.
+    # Tolerances = ~2x the envelope measured on v5e (round 3): stiff penalty
+    # contacts amplify Mosaic-vs-XLA transcendental rounding (~1e-6 base) in
+    # the few envs at force saturation; the medians are the semantic check.
+    # Measured: root_pos 2.7e-3/4.2e-5, root_rot 5.1e-3/1.3e-4, body_pos
+    # 9.2e-3/1.9e-4, body_vel 6.5e-1/6.2e-3, contact_force 5.9e1/0 (max/med).
     checks = {
-        "root_pos": (2e-2, 1e-3),
-        "root_rot": (2e-2, 1e-3),
-        "body_pos": (5e-2, 2e-3),
-        "body_vel": (2.0, 5e-2),
-        "contact_force": (200.0, 1.0),
+        "root_pos": (6e-3, 2e-4),
+        "root_rot": (1e-2, 5e-4),
+        "body_pos": (2e-2, 8e-4),
+        "body_vel": (1.3, 2e-2),
+        "contact_force": (120.0, 0.5),
     }
     for name, (max_tol, med_tol) in checks.items():
         a = np.asarray(getattr(out, name))
