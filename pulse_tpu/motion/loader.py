@@ -76,8 +76,13 @@ def _load_reference_pkl(path: str, tree: SkeletonTree) -> list[dict]:
         lr = np.asarray(entry["pose_quat"], np.float32)
         rt = np.asarray(entry["root_trans_offset"], np.float32)
         fps = float(entry.get("fps", 30.0))
-        if lr.ndim != 3 or lr.shape[1] != tree.num_joints:
+        if lr.ndim != 3 or lr.shape[1] != tree.num_joints or lr.shape[0] == 0:
             continue
+        if lr.shape[0] == 1:
+            # static pose: hold for two frames so finite-difference
+            # velocities are defined (≙ convert_data_smpl.py's 2-frame hold)
+            lr = np.repeat(lr, 2, axis=0)
+            rt = np.repeat(rt.reshape(1, 3), 2, axis=0)
         clips.append(
             {
                 "fps": fps,

@@ -90,9 +90,12 @@ def process_db(
     out = {}
     for k, v in raw.items():
         key = "0-" + k
-        skip = max(int(v["mocap_framerate"] / TARGET_FR), 1)
-        pose = v["poses"][::skip]
-        trans = v["trans"][::skip]
+        skip = max(int(float(v["mocap_framerate"]) / TARGET_FR), 1)
+        # np.asarray: some upstream dbs store torch tensors (the reference's
+        # Tensor.numpy monkey-patch exists for the same reason,
+        # motion_lib_base.py:33-44)
+        pose = np.asarray(v["poses"], np.float64)[::skip]
+        trans = np.asarray(v["trans"], np.float64)[::skip]
 
         bound = pose.shape[0]
         if key in occlusion:
@@ -113,7 +116,9 @@ def process_db(
         B = pose.shape[0]
         # SMPL only: body pose + zeroed hands (process_amass_db.py:192)
         pose_aa = np.concatenate([pose[:, :66], np.zeros((B, 6))], axis=1)
-        betas = v["betas"][:10]
+        betas = np.asarray(v.get("betas", np.zeros(10)), np.float64).reshape(-1)[:10]
+        if betas.shape[0] < 10:
+            betas = np.concatenate([betas, np.zeros(10 - betas.shape[0])])
 
         if smpl is not None:
             # ground-height fix: shift so the first frames' lowest LBS
