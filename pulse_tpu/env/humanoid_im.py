@@ -640,8 +640,17 @@ class HumanoidImEnv:
         )
         return reset[0], terminate[0]
 
+    def motor_actions_one(self, state: EnvState, action: jax.Array) -> jax.Array:
+        """Action-pathway hook: map the policy's action to motor action
+        space. Identity here; MCP overrides it to blend frozen primitives
+        (≙ humanoid_im_mcp.py:60-70). Both step_one and the batched Pallas
+        step route through it, so overriding the pathway keeps every path
+        correct."""
+        return action
+
     def step_one(self, state: EnvState, action: jax.Array, model: Model | None = None) -> EnvState:
         model = self.model if model is None else model
+        action = self.motor_actions_one(state, action)
         mode = self.config.control_mode
         if mode == "force":
             from pulse_tpu.physics.step import physics_step_torque
@@ -814,6 +823,7 @@ class HumanoidImEnv:
                 sharded_pallas_physics_step,
             )
 
+            actions = jax.vmap(self.motor_actions_one)(states, actions)
             pd_target = self.action_to_pd_target(actions)
             if self.mesh is not None:
                 physics = sharded_pallas_physics_step(
@@ -825,12 +835,137 @@ class HumanoidImEnv:
                     self.model, states.physics, pd_target,
                     interpret=self._pallas_interpret,
                 )
+            if self._fused_step_ok():
+                return self._finish_step_fused(states, physics)
             return jax.vmap(
                 lambda s, p, t: self._finish_step(s, p, t, self.model)
             )(states, physics, pd_target)
         if self.batched_model is None:
             return jax.vmap(self.step_one)(states, actions)
         return jax.vmap(self.step_one)(states, actions, self.batched_model)
+
+    # ------------------------------------------------------------------ #
+    # fused Pallas post-physics path (env/pallas_obs.py): reward + AMP obs
+    # + termination distances in one kernel on the stepped state, the
+    # observation in a second kernel on the post-merge state. Covers the
+    # training hot path (obs v6 / self-obs v1 / amp v1-v2, T=1, no far/
+    # cycle/power/occlusion/noise extras); everything else keeps the
+    # per-env XLA _finish_step.
+    # ------------------------------------------------------------------ #
+
+    def _fused_step_ok(self) -> bool:
+        cfg = self.config
+        t = type(self)
+        default_surface = (
+            cfg.obs_v == 6
+            and cfg.self_obs_v == 1
+            and cfg.amp_obs_v in (1, 2)
+            and cfg.num_traj_samples == 1
+            and not cfg.cycle_motion
+            and not cfg.zero_out_far
+            and not cfg.power_reward
+            and cfg.occlusion_prob == 0
+            and cfg.obs_noise_std == 0
+            and self.shape_extra_dim == 0
+            and np.array_equal(
+                np.asarray(self.track_body_ids),
+                np.arange(self.model.num_bodies),
+            )
+        )
+        # subclasses that override any stage the kernels replace must keep
+        # the per-env path (getup termination windows, perturb physics, ...)
+        unoverridden = (
+            t._finish_step is HumanoidImEnv._finish_step
+            and t._termination is HumanoidImEnv._termination
+            and t._observe is HumanoidImEnv._observe
+            and t._amp_obs is HumanoidImEnv._amp_obs
+            and t._self_obs_single is HumanoidImEnv._self_obs_single
+            and t.step_one is HumanoidImEnv.step_one
+        )
+        return default_surface and unoverridden
+
+    @property
+    def _fused_consts(self) -> dict:
+        e = getattr(self, "_fused_consts_cache", None)
+        if e is None:
+            from pulse_tpu.env.pallas_obs import env_consts_from
+
+            e = env_consts_from(self)
+            self._fused_consts_cache = e
+        return e
+
+    def _finish_step_fused(self, states: EnvState, physics) -> EnvState:
+        """Batched _finish_step with the two pallas_obs kernels in place of
+        the XLA reward/amp/obs pipelines. Semantically identical to
+        vmap(_finish_step) on the supported surface (golden-tested in
+        tests/test_pallas_obs.py)."""
+        from pulse_tpu.env import pallas_obs as pobs
+
+        cfg = self.config
+        model = self.model
+        e = self._fused_consts
+        B = states.progress.shape[0]
+
+        progress = states.progress + 1
+        stepped = states.replace(physics=physics, progress=progress)
+        t = self._motion_time(stepped)
+        ref = get_motion_state(self.motion, stepped.motion_id, t)
+        if self.mesh is not None:
+            reward, reward_raw, dmean, dmax, amp_row = (
+                pobs.sharded_pallas_reward_amp(
+                    e, self.mesh, physics, ref, interpret=self._pallas_interpret
+                )
+            )
+        else:
+            reward, reward_raw, dmean, dmax, amp_row = pobs.pallas_reward_amp(
+                e, physics, ref, interpret=self._pallas_interpret
+            )
+
+        # termination on the kernel's distances (≙ compute_humanoid_im_reset)
+        length = self.motion.motion_lengths[stepped.motion_id]
+        pass_time = t >= length
+        dist = dmean if cfg.use_mean_termination else dmax
+        fallen = (dist > cfg.termination_distance) & (progress > 1)
+        if not cfg.enable_early_termination:
+            fallen = jnp.zeros_like(fallen)
+        terminate = fallen
+        reset = pass_time | terminate
+
+        amp_hist = jnp.roll(states.amp_hist, 1, axis=1).at[:, 0].set(amp_row)
+        stepped = stepped.replace(
+            reward=reward,
+            reward_raw=reward_raw,
+            done=reset,
+            terminate=terminate,
+            amp_hist=amp_hist,
+        )
+
+        ks = jax.vmap(jax.random.split)(states.key)
+        k_reset, k_keep = ks[:, 0], ks[:, 1]
+        fresh = jax.vmap(lambda k: self.reset_one(k, with_obs=False))(k_reset)
+        merged = jax.tree.map(
+            lambda a, b: jnp.where(
+                reset.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            fresh,
+            stepped.replace(key=k_keep),
+        )
+
+        t_next = self._motion_time(merged) + model.config.control_dt
+        ref_next = get_motion_state(self.motion, merged.motion_id, t_next)
+        if self.mesh is not None:
+            obs = pobs.sharded_pallas_observe(
+                e, self.mesh, merged.physics, ref_next,
+                interpret=self._pallas_interpret,
+            )
+        else:
+            obs = pobs.pallas_observe(
+                e, merged.physics, ref_next, interpret=self._pallas_interpret
+            )
+        return merged.replace(
+            obs=obs, reward=reward, reward_raw=reward_raw,
+            done=reset, terminate=terminate,
+        )
 
     def _ctor_kwargs(self) -> dict:
         """Extra constructor kwargs beyond (model, motion, config).

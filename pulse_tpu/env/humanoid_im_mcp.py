@@ -22,25 +22,29 @@ class _MCPMixin:
     def init_mcp(self, pnn: PNN, pnn_params):
         self.pnn = pnn
         self.pnn_params = pnn_params
+        self.action_dim = pnn.num_primitives
 
     def _ctor_kwargs(self) -> dict:
         return {"pnn": self.pnn, "pnn_params": self.pnn_params}
-        self.action_dim = pnn.num_primitives
 
-    def step_one(self, state: EnvState, weights: jax.Array) -> EnvState:
+    def motor_actions_one(self, state: EnvState, weights: jax.Array) -> jax.Array:
+        """weights -> blended primitive motor action (the hook the batched
+        Pallas step also routes through — see HumanoidImEnv.step)."""
         prims = self.pnn.apply({"params": self.pnn_params}, state.obs)
         w = jax.nn.softmax(weights, axis=-1)
-        motor = jnp.clip(compose_actions(w, prims), -1.0, 1.0)
-        return super().step_one(state, motor)
+        return jnp.clip(compose_actions(w, prims), -1.0, 1.0)
 
 
 class HumanoidImMCPEnv(_MCPMixin, HumanoidImEnv):
-    def __init__(self, model, motion, pnn: PNN, pnn_params, config=None):
+    # signature (model, motion, config, **ctor_kwargs) so with_config's
+    # rebuild `type(self)(model, motion, config, **self._ctor_kwargs())`
+    # round-trips the frozen primitives
+    def __init__(self, model, motion, config=None, *, pnn: PNN, pnn_params):
         super().__init__(model, motion, config)
         self.init_mcp(pnn, pnn_params)
 
 
 class HumanoidImMCPGetupEnv(_MCPMixin, HumanoidImGetupEnv):
-    def __init__(self, model, motion, pnn: PNN, pnn_params, config=None):
+    def __init__(self, model, motion, config=None, *, pnn: PNN, pnn_params):
         super().__init__(model, motion, config)
         self.init_mcp(pnn, pnn_params)

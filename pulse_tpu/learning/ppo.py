@@ -439,15 +439,19 @@ class PPOAgent:
         delta = traj.rewards + cfg.gamma * next_values * not_term - traj.values
         c = cfg.gamma * cfg.tau * not_done
 
-        def combine(earlier, later):
-            c_a, d_a = earlier
-            c_b, d_b = later
+        def combine(a, b):
+            # reverse=True is flip -> forward scan -> flip, so `a` is the
+            # accumulated suffix (later wall-clock times), `b` the new element
+            c_a, d_a = a
+            c_b, d_b = b
             return c_a * c_b, d_b + c_b * d_a
 
-        # reversed time: x_k = c_k x_{k-1} + d_k with x_{-1} = 0; the scan's
-        # cumulative affine composition applied to 0 is the d component
-        _, adv_rev = jax.lax.associative_scan(combine, (c[::-1], delta[::-1]))
-        advantages = adv_rev[::-1]
+        # backward-in-time recurrence a_t = delta_t + c_{t+1} a_{t+1}: the
+        # reverse scan's cumulative affine composition applied to 0 is the
+        # d component (reverse=True spares four [T, B] array flips)
+        _, advantages = jax.lax.associative_scan(
+            combine, (c, delta), reverse=True
+        )
         returns = advantages + traj.values
         return advantages, returns
 

@@ -1,0 +1,64 @@
+"""MCP env surface: weights -> blended-primitive actions through every
+step path (round-3 regression: a _ctor_kwargs insertion orphaned
+`self.action_dim = pnn.num_primitives` behind a return, and the batched
+Pallas branch bypassed the weight blending entirely; the action pathway is
+now the motor_actions_one hook both paths share)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pulse_tpu.assets import load_smpl_humanoid
+from pulse_tpu.env import EnvConfig, HumanoidImEnv
+from pulse_tpu.env.humanoid_im_mcp import HumanoidImMCPEnv
+from pulse_tpu.learning.pnn import PNN, compose_actions
+from pulse_tpu.motion import build_motion_data
+from pulse_tpu.motion.synthetic import make_synthetic_clips
+from pulse_tpu.physics import PhysicsConfig, build_model
+
+
+def _mcp_env():
+    spec = load_smpl_humanoid()
+    model = build_model(spec, PhysicsConfig(substeps=1, control_freq_inv=1))
+    clips = make_synthetic_clips(spec.skeleton, num_clips=1, seconds=1.0)
+    motion = build_motion_data(spec.skeleton, clips)
+    probe = HumanoidImEnv(model, motion, EnvConfig())
+    pnn = PNN(action_dim=probe.action_dim, num_primitives=3, units=(32, 32))
+    params = pnn.init(jax.random.PRNGKey(0), jnp.zeros((1, probe.obs_dim)))[
+        "params"
+    ]
+    return HumanoidImMCPEnv(model, motion, EnvConfig(), pnn=pnn, pnn_params=params)
+
+
+def test_mcp_action_dim_and_step():
+    env = _mcp_env()
+    # the composer policy's action space is the primitive weights
+    assert env.action_dim == 3
+
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    states = env.reset(keys)
+    weights = jax.random.normal(jax.random.PRNGKey(2), (B, 3))
+    nxt = jax.jit(env.step)(states, weights)
+    assert nxt.obs.shape == (B, env.obs_dim)
+
+    # the executed motor action is the softmax-blended primitive output
+    motor = jax.vmap(env.motor_actions_one)(states, weights)
+    prims = jax.vmap(lambda o: env.pnn.apply({"params": env.pnn_params}, o))(
+        states.obs
+    )
+    want = jnp.clip(
+        compose_actions(jax.nn.softmax(weights, axis=-1), prims), -1.0, 1.0
+    )
+    np.testing.assert_allclose(np.asarray(motor), np.asarray(want), atol=1e-6)
+
+
+def test_mcp_with_config_roundtrip():
+    import dataclasses as dc
+
+    env = _mcp_env()
+    new = env.with_config(dc.replace(env.config, enable_early_termination=False))
+    assert type(new) is HumanoidImMCPEnv
+    assert new.action_dim == 3
+    assert new.pnn is env.pnn
+    assert not new.config.enable_early_termination

@@ -7,10 +7,19 @@ from pulse_tpu.utils.config import load_config
 from pulse_tpu import run as run_mod
 
 
-ENVS = [
-    "im", "im_getup", "im_vae", "im_vr", "speed", "reach", "traj",
-    "strike", "pedestrian_terrain", "speed_z", "reach_z", "traj_z", "strike_z",
-]
+# every shipped env YAML must build — enumerate the directory so a new
+# config can't ship untested
+import glob as _glob
+import os as _os
+
+_CFG_DIR = _os.path.join(
+    _os.path.dirname(run_mod.__file__), "configs", "env"
+)
+ENVS = sorted(
+    _os.path.splitext(_os.path.basename(p))[0]
+    for p in _glob.glob(_os.path.join(_CFG_DIR, "*.yaml"))
+)
+assert "im" in ENVS and "amp_getup" in ENVS and "im_shape" in ENVS
 
 
 class TestConfigTree:
@@ -125,7 +134,7 @@ class TestWithConfig:
     """run_eval rebuilds envs via with_config; subclass ctor args and
     post-construction state must survive (round-2 VERDICT weak #6)."""
 
-    @pytest.mark.parametrize("env_name", ENVS + ["amp_getup"])
+    @pytest.mark.parametrize("env_name", ENVS)
     def test_with_config_preserves_type_and_args(self, env_name):
         import dataclasses as dc
 

@@ -88,6 +88,47 @@ def main():
     print("pallas shard_map path on TPU: OK")
 
     trajectory_divergence(model, state)
+    fused_finish_check(model)
+
+
+def fused_finish_check(model, B: int = 1024):
+    """Compile + run the two env/pallas_obs.py kernels on the real TPU and
+    compare the fused post-physics path against the per-env XLA
+    _finish_step on identical physics outputs (the on-device counterpart of
+    tests/test_pallas_obs.py — catches Mosaic lowering gaps, e.g. jnp.exp)."""
+    from pulse_tpu.env import EnvConfig, HumanoidImEnv
+    from pulse_tpu.motion import build_motion_data
+    from pulse_tpu.motion.synthetic import make_synthetic_clips
+
+    tree = load_smpl_humanoid().skeleton
+    clips = make_synthetic_clips(tree, num_clips=2, seconds=1.0)
+    motion = build_motion_data(tree, clips)
+    env = HumanoidImEnv(model, motion, EnvConfig())
+    assert env._fused_step_ok()
+
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    states = env.reset(keys)
+    actions = 0.5 * jax.random.normal(jax.random.PRNGKey(6), (B, env.action_dim))
+    pd = env.action_to_pd_target(actions)
+    physics = jax.jit(jax.vmap(physics_step, in_axes=(None, 0, 0)))(
+        model, states.physics, pd
+    )
+    print("compiling fused obs/reward kernels on TPU ...")
+    got = jax.jit(env._finish_step_fused)(states, physics)
+    jax.block_until_ready(got.obs)
+    want = jax.jit(
+        jax.vmap(lambda s, p, t: env._finish_step(s, p, t, model))
+    )(states, physics, pd)
+    for name, a, b, tol in [
+        ("reward", got.reward, want.reward, 1e-4),
+        ("obs", got.obs, want.obs, 5e-4),
+        ("amp_row", got.amp_hist[:, 0], want.amp_hist[:, 0], 5e-4),
+    ]:
+        d = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        print(f"  fused {name:8s} max|diff| = {d:.3e}")
+        assert d < tol, f"fused {name} diverged on TPU: {d}"
+    assert bool(np.array_equal(np.asarray(got.done), np.asarray(want.done)))
+    print("fused post-physics path on TPU: OK")
 
 
 def trajectory_divergence(model, state, T: int = 90):
@@ -106,7 +147,6 @@ def trajectory_divergence(model, state, T: int = 90):
     pd0 = jnp.zeros((B, model.num_dof))
 
     step_k = jax.jit(lambda s: pallas_physics_step(model, s, pd0))
-    step_x = jax.jit(jax.vmap(physics_step, in_axes=(None, 0, None)), static_argnums=())
     step_x = jax.jit(lambda s: jax.vmap(physics_step, in_axes=(None, 0, 0))(model, s, pd0))
 
     sk = sx = state
