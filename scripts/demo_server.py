@@ -56,7 +56,17 @@ def main():
     try:
         for i in range(args.steps):
             cmd = server.poll_command()
-            if cmd and cmd.get("cmd") == "pose":
+            if cmd and cmd.get("cmd") == "motion":
+                # interactive clip switching (≙ HumanoidImDemo driving a
+                # chosen motion, humanoid_im_demo.py + begin_seq_motion):
+                # reset the env onto the requested clip/time and keep the
+                # policy in the loop
+                mid = jnp.asarray([int(cmd.get("id", 0)) % int(env.motion.num_motions)])
+                t0 = jnp.asarray([float(cmd.get("time", 0.0))])
+                state = env.reset_to(
+                    jax.random.split(jax.random.PRNGKey(100 + i), 1), mid, t0
+                )
+            elif cmd and cmd.get("cmd") == "pose":
                 # kinematically drive toward the streamed pose: override the
                 # physics state root/dof directly (≙ HACK_MOTION_SYNC)
                 from pulse_tpu.physics.state import state_from_kinematics
