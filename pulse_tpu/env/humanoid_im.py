@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from pulse_tpu.env import kernels
+from pulse_tpu.env.domain_rand import DRConfig, apply_noise
 from pulse_tpu.motion.motion_lib import MotionData, get_motion_state, sample_motions, sample_time
 from pulse_tpu.ops import quat as q_ops
 from pulse_tpu.physics.model import Model
@@ -95,6 +96,11 @@ class EnvConfig:
     # enable_shape_variation (zeros until then)
     has_shape_obs: bool = False
     has_limb_weight_obs: bool = False
+    # full domain-randomization surface (≙ BaseTask.apply_randomizations,
+    # base_task.py:518-697): scheduled gaussian/uniform additive/scaling
+    # obs+action noise with held correlated draws — env/domain_rand.py.
+    # None disables (and keeps the fused post-physics kernels eligible).
+    dr: "DRConfig | None" = None
     key_bodies: Sequence[str] = DEFAULT_KEY_BODIES
     reset_bodies: Sequence[str] = DEFAULT_RESET_BODIES
     # bodies the task obs/reward track; None -> all (subset = VR-style
@@ -136,6 +142,13 @@ class EnvState:
     # weights?] per the config flags); survives auto-resets, replaced only
     # by enable_shape_variation resampling
     shape_obs: jax.Array | None = None
+    # domain-randomization state (cfg.dr != None): held correlated noise
+    # draws (≙ dr_randomizations[...]['corr'], base_task.py:582-589) and a
+    # never-resetting step counter driving schedules + refresh frequency
+    # (≙ gym.get_frame_count, base_task.py:527)
+    dr_corr_obs: jax.Array | None = None
+    dr_corr_act: jax.Array | None = None
+    dr_step: jax.Array | None = None
 
     @property
     def amp_obs(self) -> jax.Array:
@@ -461,6 +474,16 @@ class HumanoidImEnv:
             recovery_counter=jnp.zeros((), jnp.int32),
             shape_obs=shape_obs,
         )
+        if self.config.dr is not None:
+            state = state.replace(
+                dr_corr_obs=jax.random.normal(
+                    jax.random.fold_in(k_next, 29), (self.obs_dim,)
+                ),
+                dr_corr_act=jax.random.normal(
+                    jax.random.fold_in(k_next, 31), (self.action_dim,)
+                ),
+                dr_step=jnp.zeros((), jnp.int32),
+            )
         if self.config.self_obs_v == 2:
             single = self._self_obs_single(state)
             state = state.replace(
@@ -640,6 +663,20 @@ class HumanoidImEnv:
         )
         return reset[0], terminate[0]
 
+    def _dr_action_noise(self, state: EnvState, action: jax.Array) -> jax.Array:
+        """DR action noise, applied before the motor mapping (≙ the
+        pre-physics noise_lambda call, base_task.py:217-218)."""
+        dr = self.config.dr
+        if dr is None or dr.actions is None:
+            return action
+        return apply_noise(
+            dr.actions,
+            action,
+            state.dr_corr_act,
+            jax.random.fold_in(state.key, 41),
+            state.dr_step,
+        )
+
     def motor_actions_one(self, state: EnvState, action: jax.Array) -> jax.Array:
         """Action-pathway hook: map the policy's action to motor action
         space. Identity here; MCP overrides it to blend frozen primitives
@@ -650,6 +687,7 @@ class HumanoidImEnv:
 
     def step_one(self, state: EnvState, action: jax.Array, model: Model | None = None) -> EnvState:
         model = self.model if model is None else model
+        action = self._dr_action_noise(state, action)
         action = self.motor_actions_one(state, action)
         mode = self.config.control_mode
         if mode == "force":
@@ -766,6 +804,42 @@ class HumanoidImEnv:
         # _observe recomputes far from next_state when zero_out_far is on:
         # the pre-reset `far` above would be stale for just-reset envs
         obs = self._observe(next_state)
+        if cfg.dr is not None:
+            # refresh the held correlated draws every `frequency` steps
+            # (≙ do_nonenv_randomize, base_task.py:527-541; dr_step==0 on
+            # the first step ≙ first_randomization) and tick the schedule
+            # counter — overriding whatever the auto-reset merge picked.
+            refresh = (state.dr_step % cfg.dr.frequency) == 0
+            # fold constants differ from _reset_to's (29/31): state.key is
+            # the reset key right after a reset, and reusing the same folds
+            # would make the first refresh a no-op redraw of the same values
+            corr_obs = jnp.where(
+                refresh,
+                jax.random.normal(
+                    jax.random.fold_in(state.key, 43), (self.obs_dim,)
+                ),
+                state.dr_corr_obs,
+            )
+            corr_act = jnp.where(
+                refresh,
+                jax.random.normal(
+                    jax.random.fold_in(state.key, 47), (self.action_dim,)
+                ),
+                state.dr_corr_act,
+            )
+            next_state = next_state.replace(
+                dr_corr_obs=corr_obs,
+                dr_corr_act=corr_act,
+                dr_step=state.dr_step + 1,
+            )
+            if cfg.dr.observations is not None:
+                obs = apply_noise(
+                    cfg.dr.observations,
+                    obs,
+                    corr_obs,
+                    jax.random.fold_in(state.key, 37),
+                    state.dr_step,
+                )
         if cfg.obs_noise_std > 0:
             k_noise, _ = jax.random.split(jax.random.fold_in(state.key, 17))
             obs = obs + cfg.obs_noise_std * jax.random.normal(k_noise, obs.shape)
@@ -823,6 +897,7 @@ class HumanoidImEnv:
                 sharded_pallas_physics_step,
             )
 
+            actions = jax.vmap(self._dr_action_noise)(states, actions)
             actions = jax.vmap(self.motor_actions_one)(states, actions)
             pd_target = self.action_to_pd_target(actions)
             if self.mesh is not None:
@@ -866,6 +941,7 @@ class HumanoidImEnv:
             and not cfg.power_reward
             and cfg.occlusion_prob == 0
             and cfg.obs_noise_std == 0
+            and cfg.dr is None
             and self.shape_extra_dim == 0
             and np.array_equal(
                 np.asarray(self.track_body_ids),
@@ -983,6 +1059,8 @@ class HumanoidImEnv:
             "batched_model",
             "_shape_obs_table",
             "_shape_variation_args",
+            "_prop_rand_base",
+            "_prop_rand_args",
             "mesh",
             "_pallas_interpret",
         ):
@@ -1054,3 +1132,41 @@ class HumanoidImEnv:
                 "resample_shapes before enable_shape_variation"
             )
         self.enable_shape_variation(key, **args)
+        # shape resampling rebuilds the batched model: it becomes the new
+        # pre-DR base, and any physical-property DR re-layers on top
+        self._prop_rand_base = None
+        if getattr(self, "_prop_rand_args", None) is not None:
+            k, n = self._prop_rand_args
+            self.randomize_physical_props(jax.random.fold_in(k, 1), n)
+
+    def randomize_physical_props(self, key: jax.Array, num_envs: int) -> None:
+        """Per-env physical-property DR (≙ the actor_params half of
+        apply_randomizations, base_task.py:643-686: rigid_shape friction,
+        rigid_body mass, dof_properties stiffness/damping): uniform
+        multipliers from cfg.dr layered onto the current batched model
+        (composing with shape variation) or the base model. Host-side at
+        build/epoch granularity — call again to re-randomize."""
+        dr = self.config.dr
+        if dr is None or not (
+            dr.friction_range or dr.mass_range or dr.gain_range
+        ):
+            return
+        from pulse_tpu.env.domain_rand import randomize_model_props
+
+        # re-randomize from the pre-DR base, not the already-multiplied
+        # model — repeated calls must not compound the multipliers
+        base = getattr(self, "_prop_rand_base", None)
+        if base is None:
+            base = (
+                self.batched_model if self.batched_model is not None else self.model
+            )
+        self._prop_rand_base = base
+        self.batched_model = randomize_model_props(
+            base,
+            key,
+            num_envs,
+            friction_range=dr.friction_range,
+            mass_range=dr.mass_range,
+            gain_range=dr.gain_range,
+        )
+        self._prop_rand_args = (key, num_envs)

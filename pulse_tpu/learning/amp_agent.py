@@ -86,13 +86,24 @@ class AMPAgent:
             and epoch % self.shape_resampling_interval == 1
             and getattr(self.env, "batched_model", None) is not None
         ):
-            # resample_shapes replays the original enable_shape_variation
-            # arguments (SMPL model / beta_std), so an env built with
-            # per-env SMPL-beta skeletons stays in that mode
-            self.env.resample_shapes(
-                jax.random.fold_in(jax.random.PRNGKey(17), epoch)
-            )
-            self.needs_retrace = True
+            if getattr(self.env, "_shape_variation_args", None) is not None:
+                # resample_shapes replays the original enable_shape_variation
+                # arguments (SMPL model / beta_std), so an env built with
+                # per-env SMPL-beta skeletons stays in that mode (it also
+                # re-layers any physical-prop DR on the fresh shapes)
+                self.env.resample_shapes(
+                    jax.random.fold_in(jax.random.PRNGKey(17), epoch)
+                )
+                self.needs_retrace = True
+            elif getattr(self.env, "_prop_rand_args", None) is not None:
+                # DR-only env (batched model from randomize_physical_props,
+                # no shape variation): re-draw the multipliers (≙ the
+                # reset-gated actor_params path, base_task.py:643-686)
+                _, n = self.env._prop_rand_args
+                self.env.randomize_physical_props(
+                    jax.random.fold_in(jax.random.PRNGKey(19), epoch), n
+                )
+                self.needs_retrace = True
         return ts
 
     # ------------------------------------------------------------------ #

@@ -58,6 +58,16 @@ def build_motion_from_cfg(cfg, spec):
     return build_motion_data(spec.skeleton, clips)
 
 
+def _build_dr(e):
+    """env.randomize + env.randomization_params → DRConfig
+    (≙ apply_randomizations' dr_params schema, base_task.py:518-697)."""
+    if not bool(e.get("randomize", False)):
+        return None
+    from pulse_tpu.env.domain_rand import dr_config_from_dict
+
+    return dr_config_from_dict(dict(e.get("randomization_params") or {}))
+
+
 def build_env_from_cfg(cfg, model, motion):
     from pulse_tpu.env import EnvConfig, HumanoidImEnv
     from pulse_tpu.env.humanoid_im import DEFAULT_KEY_BODIES, DEFAULT_RESET_BODIES
@@ -115,6 +125,8 @@ def build_env_from_cfg(cfg, model, motion):
             track_bodies=(
                 tuple(e["track_bodies"]) if e.get("track_bodies") else None
             ),
+            # domain randomization (≙ task.randomize + randomization_params)
+            dr=_build_dr(e),
             **{
                 k: float(rs[k])
                 for rs in (e.get("reward_specs") or {},)
@@ -160,6 +172,12 @@ def build_env_from_cfg(cfg, model, motion):
                 int(cfg["num_envs"]),
                 smpl_model=smpl,
                 beta_std=float(e.get("shape_beta_std", 1.0)),
+            )
+        if im_env.config.dr is not None:
+            import jax as _jax
+
+            im_env.randomize_physical_props(
+                _jax.random.PRNGKey(int(cfg["seed"]) + 11), int(cfg["num_envs"])
             )
         return im_env
 

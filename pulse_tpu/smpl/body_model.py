@@ -45,6 +45,7 @@ class SMPLModel:
     J_regressor: np.ndarray    # [J, V]
     weights: np.ndarray        # [V, J]
     parents: np.ndarray        # [J]
+    faces: np.ndarray | None = None  # [F, 3] triangles ('f' in the pickle)
 
     @property
     def num_joints(self) -> int:
@@ -73,6 +74,9 @@ def load_smpl_model(path: str) -> SMPLModel:
             (p := np.asarray(data["kintree_table"][0], np.int64)[:24]) >= 2**31,
             -1,
             p,
+        ),
+        faces=(
+            np.asarray(data["f"], np.int64) if data.get("f") is not None else None
         ),
     )
 

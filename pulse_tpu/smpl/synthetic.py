@@ -114,13 +114,22 @@ def synthetic_smpl_data(
     kintree_table[0, 0] = 2**32 - 1  # the release pickles store uint32(-1)
     kintree_table[1] = np.arange(J)
 
+    # triangles over consecutive surface verts on the same body, so mesh
+    # renderers (scripts/render_smpl_mesh.py) have real polygons to draw
+    faces = []
+    order = np.argsort(surf_body, kind="stable")
+    for a, b, c in zip(order[:-2], order[1:-1], order[2:]):
+        if surf_body[a] == surf_body[b] == surf_body[c]:
+            faces.append((J + a, J + b, J + c))
+    faces = np.asarray(faces if faces else np.zeros((0, 3)), np.int64)
+
     return {
         "v_template": v_template,
         "shapedirs": shapedirs,
         "J_regressor": J_regressor,
         "weights": weights,
         "kintree_table": kintree_table,
-        "f": np.zeros((0, 3), np.int64),
+        "f": faces,
     }
 
 
