@@ -1,17 +1,18 @@
-"""Pure-AMP getup env: style-reward locomotion with fall recovery.
+"""Pure-AMP envs: style-reward locomotion, with and without fall recovery.
 
-≙ phc/env/tasks/humanoid_amp_getup.py:41-210 (HumanoidAMPGetup): the
+≙ phc/env/tasks/humanoid_amp.py (HumanoidAMP, the plain AMP env) and
+phc/env/tasks/humanoid_amp_getup.py:41-210 (HumanoidAMPGetup): the
 HumanoidAMP base env (NO imitation task observation — the policy sees only
 its self obs; learning pressure comes entirely from the discriminator's
-style reward) plus the fall-state reset curriculum and recovery-step
-termination grace. The reference's task reward here is the constant 1
-(compute_humanoid_reward, humanoid.py:1567-1570); the AMP agent's reward
-mix supplies the style term.
+style reward), and for the getup variant the fall-state reset curriculum
+plus recovery-step termination grace. The reference's task reward here is
+the constant 1 (compute_humanoid_reward, humanoid.py:1567-1570); the AMP
+agent's reward mix supplies the style term.
 
-Reuses HumanoidImGetupEnv's fall-state generation/reset machinery; only the
-observation surface, the reward, and the termination rule change:
-termination is the generic contact-based fall check
-(compute_humanoid_reset, humanoid.py:1572-1608) instead of the
+Reuses HumanoidImGetupEnv's fall-state generation/reset machinery for the
+getup variant; only the observation surface, the reward, and the
+termination rule change: termination is the generic contact-based fall
+check (compute_humanoid_reset, humanoid.py:1572-1608) instead of the
 imitation-distance rule.
 """
 
@@ -22,14 +23,18 @@ import jax
 import jax.numpy as jnp
 
 from pulse_tpu.env import kernels
-from pulse_tpu.env.humanoid_im import EnvState
+from pulse_tpu.env.humanoid_im import EnvState, HumanoidImEnv
 from pulse_tpu.env.humanoid_im_getup import GetupConfig, HumanoidImGetupEnv
 
 
-class HumanoidAMPGetupEnv(HumanoidImGetupEnv):
-    def __init__(self, model, motion, config: GetupConfig | None = None,
-                 termination_height: float = 0.15):
-        super().__init__(model, motion, config)
+class _AMPSurfaceMixin:
+    """Shared AMP observation / reward / fall-check surface.
+
+    ≙ HumanoidAMP's obs+reward overrides (humanoid_amp.py) layered over the
+    Humanoid fall termination (compute_humanoid_reset, humanoid.py:1572-1608).
+    """
+
+    def _init_amp_surface(self, termination_height: float) -> None:
         # no task obs: the policy observes only its own state
         self.task_obs_dim = 0
         self.obs_dim = self.self_obs_dim
@@ -39,9 +44,6 @@ class HumanoidAMPGetupEnv(HumanoidImGetupEnv):
         self.non_contact_body_ids = np.asarray(
             [i for i, n in enumerate(self._names) if n not in feet], np.int32
         )
-
-    def _ctor_kwargs(self) -> dict:
-        return {"termination_height": self.termination_height}
 
     def _observe(self, state: EnvState, far=None) -> jax.Array:
         cfg = self.config
@@ -57,9 +59,8 @@ class HumanoidAMPGetupEnv(HumanoidImGetupEnv):
             reward_raw=jnp.ones_like(out.reward_raw),
         )
 
-    def _termination(self, state: EnvState, ref, pass_time):
-        """Generic fall termination + recovery grace (≙ humanoid_amp_getup
-        _compute_reset:164-178 over compute_humanoid_reset)."""
+    def _fall_check(self, state: EnvState):
+        """Generic contact-based fall termination (compute_humanoid_reset)."""
         cfg = self.config
         reset, fallen = kernels.compute_humanoid_reset(
             state.progress[None],
@@ -70,7 +71,47 @@ class HumanoidAMPGetupEnv(HumanoidImGetupEnv):
             cfg.episode_length,
             enable_early_termination=cfg.enable_early_termination,
         )
-        reset, terminate = reset[0], fallen[0]
+        return reset[0], fallen[0]
+
+
+class HumanoidAMPEnv(_AMPSurfaceMixin, HumanoidImEnv):
+    """Plain AMP env: style reward only, motion-sampled RSI resets, no
+    getup curriculum (≙ HumanoidAMP, humanoid_amp.py)."""
+
+    def __init__(self, model, motion, config=None,
+                 termination_height: float = 0.15):
+        super().__init__(model, motion, config)
+        self._init_amp_surface(termination_height)
+
+    def _ctor_kwargs(self) -> dict:
+        return {"termination_height": self.termination_height}
+
+    def _termination(self, state: EnvState, ref, pass_time):
+        _, terminate = self._fall_check(state)
+        reset = (
+            pass_time
+            | (state.progress >= self.config.episode_length - 1)
+            | terminate
+        )
+        return reset, terminate
+
+
+class HumanoidAMPGetupEnv(_AMPSurfaceMixin, HumanoidImGetupEnv):
+    """AMP + fall-state resets + recovery grace (≙ HumanoidAMPGetup)."""
+
+    def __init__(self, model, motion, config: GetupConfig | None = None,
+                 termination_height: float = 0.15):
+        super().__init__(model, motion, config)
+        self._init_amp_surface(termination_height)
+
+    def _ctor_kwargs(self) -> dict:
+        return {"termination_height": self.termination_height}
+
+    def _termination(self, state: EnvState, ref, pass_time):
+        """Fall termination + recovery grace (≙ humanoid_amp_getup
+        _compute_reset:164-178 over compute_humanoid_reset)."""
+        cfg = self.config
+        _, terminate = self._fall_check(state)
         in_grace = state.progress < state.recovery_counter
         terminate = terminate & ~in_grace
         reset = pass_time | (state.progress >= cfg.episode_length - 1) | terminate

@@ -19,18 +19,28 @@ from pulse_tpu.learning.pnn import PNN, compose_actions
 class _MCPMixin:
     """Overrides the action pathway: weights -> blended primitive action."""
 
-    def init_mcp(self, pnn: PNN, pnn_params):
+    def init_mcp(self, pnn: PNN, pnn_params, obs_rms=None):
         self.pnn = pnn
         self.pnn_params = pnn_params
+        # reference checkpoints run the PNN on running_mean_std-normalized
+        # obs (AMPMCPBuilder forward); frozen stats ride along when imported
+        self.pnn_obs_rms = obs_rms
         self.action_dim = pnn.num_primitives
 
     def _ctor_kwargs(self) -> dict:
-        return {"pnn": self.pnn, "pnn_params": self.pnn_params}
+        return {
+            "pnn": self.pnn,
+            "pnn_params": self.pnn_params,
+            "obs_rms": self.pnn_obs_rms,
+        }
 
     def motor_actions_one(self, state: EnvState, weights: jax.Array) -> jax.Array:
         """weights -> blended primitive motor action (the hook the batched
         Pallas step also routes through — see HumanoidImEnv.step)."""
-        prims = self.pnn.apply({"params": self.pnn_params}, state.obs)
+        obs = state.obs
+        if self.pnn_obs_rms is not None:
+            obs = self.pnn_obs_rms.normalize(obs)
+        prims = self.pnn.apply({"params": self.pnn_params}, obs)
         w = jax.nn.softmax(weights, axis=-1)
         return jnp.clip(compose_actions(w, prims), -1.0, 1.0)
 
@@ -39,12 +49,14 @@ class HumanoidImMCPEnv(_MCPMixin, HumanoidImEnv):
     # signature (model, motion, config, **ctor_kwargs) so with_config's
     # rebuild `type(self)(model, motion, config, **self._ctor_kwargs())`
     # round-trips the frozen primitives
-    def __init__(self, model, motion, config=None, *, pnn: PNN, pnn_params):
+    def __init__(self, model, motion, config=None, *, pnn: PNN, pnn_params,
+                 obs_rms=None):
         super().__init__(model, motion, config)
-        self.init_mcp(pnn, pnn_params)
+        self.init_mcp(pnn, pnn_params, obs_rms)
 
 
 class HumanoidImMCPGetupEnv(_MCPMixin, HumanoidImGetupEnv):
-    def __init__(self, model, motion, config=None, *, pnn: PNN, pnn_params):
+    def __init__(self, model, motion, config=None, *, pnn: PNN, pnn_params,
+                 obs_rms=None):
         super().__init__(model, motion, config)
-        self.init_mcp(pnn, pnn_params)
+        self.init_mcp(pnn, pnn_params, obs_rms)

@@ -80,10 +80,18 @@ def build_env_from_cfg(cfg, model, motion):
 
     e = cfg["env"]
     task = e["task"]
-    if task in (
-        "HumanoidIm", "HumanoidImGetup", "HumanoidImDistillGetup",
-        "HumanoidAMPGetup",
-    ):
+    # imitation-family registry (≙ parse_task.py:29-44 task names):
+    # plain classes vs getup-curriculum variants; Demo names are the same
+    # envs driven live via utils/pose_server.py + scripts/demo_server.py
+    im_plain = (
+        "HumanoidIm", "HumanoidImDistill", "HumanoidImDemo", "HumanoidImZ",
+        "HumanoidAMP", "HumanoidImMCP", "HumanoidImMCPDemo",
+    )
+    im_getup = (
+        "HumanoidImGetup", "HumanoidImDistillGetup", "HumanoidAMPGetup",
+        "HumanoidImMCPGetup",
+    )
+    if task in im_plain + im_getup:
         common = dict(
             episode_length=int(e["episode_length"]),
             termination_distance=float(e["termination_distance"]),
@@ -133,8 +141,25 @@ def build_env_from_cfg(cfg, model, motion):
                 for k in rs
             },
         )
-        if task == "HumanoidIm":
-            im_env = HumanoidImEnv(model, motion, EnvConfig(**common))
+        if task in im_plain:
+            ec = EnvConfig(**common)
+            if task == "HumanoidAMP":
+                from pulse_tpu.env.humanoid_amp_getup import HumanoidAMPEnv
+
+                im_env = HumanoidAMPEnv(
+                    model, motion, ec,
+                    termination_height=float(e.get("termination_height", 0.15)),
+                )
+            elif task in ("HumanoidImMCP", "HumanoidImMCPDemo"):
+                from pulse_tpu.env.humanoid_im_mcp import HumanoidImMCPEnv
+
+                pnn, pnn_params, rms = build_pnn_from_cfg(cfg, model, motion, ec)
+                im_env = HumanoidImMCPEnv(
+                    model, motion, ec, pnn=pnn, pnn_params=pnn_params,
+                    obs_rms=rms,
+                )
+            else:
+                im_env = HumanoidImEnv(model, motion, ec)
         else:
             from pulse_tpu.env.humanoid_im_getup import (
                 GetupConfig,
@@ -155,6 +180,14 @@ def build_env_from_cfg(cfg, model, motion):
                 im_env = HumanoidAMPGetupEnv(
                     model, motion, gc,
                     termination_height=float(e.get("termination_height", 0.15)),
+                )
+            elif task == "HumanoidImMCPGetup":
+                from pulse_tpu.env.humanoid_im_mcp import HumanoidImMCPGetupEnv
+
+                pnn, pnn_params, rms = build_pnn_from_cfg(cfg, model, motion, gc)
+                im_env = HumanoidImMCPGetupEnv(
+                    model, motion, gc, pnn=pnn, pnn_params=pnn_params,
+                    obs_rms=rms,
                 )
             else:
                 im_env = HumanoidImGetupEnv(model, motion, gc)
@@ -179,6 +212,11 @@ def build_env_from_cfg(cfg, model, motion):
             im_env.randomize_physical_props(
                 _jax.random.PRNGKey(int(cfg["seed"]) + 11), int(cfg["num_envs"])
             )
+        if task == "HumanoidImZ":
+            # latent-action imitation (≙ HumanoidImZ, humanoid_im.py:
+            # HumanoidZ mixin over HumanoidIm): actions are z, decoded by
+            # the frozen PULSE decoder
+            return wrap_env_z(cfg, im_env)
         return im_env
 
     tc_kwargs = dict(
@@ -213,6 +251,53 @@ def build_env_from_cfg(cfg, model, motion):
     if task.endswith("Z"):
         env = wrap_env_z(cfg, env)
     return env
+
+
+def build_pnn_from_cfg(cfg, model, motion, env_config):
+    """Frozen PNN primitives for the MCP composer envs.
+
+    ≙ humanoid_im_mcp.py:28-42 (load_pnn from cfg.llc_checkpoint): with
+    `env.pnn_checkpoint` (or `learning.teacher_pnn_checkpoint`) set, the
+    reference .pth is imported (params + frozen running stats); otherwise a
+    fresh PNN stands in so the pipeline runs end to end.
+    Returns (pnn, params, obs_rms_or_None)."""
+    from pulse_tpu.env import HumanoidImEnv
+    from pulse_tpu.learning.pnn import PNN
+
+    e, l = cfg["env"], cfg["learning"]
+    ckpt = str(e.get("pnn_checkpoint", "") or l.get("teacher_pnn_checkpoint", "") or "")
+    if ckpt:
+        from pulse_tpu.utils.checkpoint import (
+            import_pnn,
+            import_running_mean_std,
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(ckpt)["model"]
+        pnn_params, info = import_pnn(sd)
+        pnn = PNN(
+            action_dim=info["action_dim"],
+            num_primitives=info["num_primitives"],
+            units=info["units"],
+            activation=str(l.get("teacher_activation", "relu")),
+            has_lateral=info["has_lateral"],
+        )
+        rms = import_running_mean_std(sd).freeze()
+        print(f"frozen PNN imported from {ckpt} ({info})")
+        return pnn, pnn_params, rms
+
+    # smoke path: probe env gives the obs/action dims; fresh random PNN
+    probe = HumanoidImEnv(model, motion, env_config)
+    pnn = PNN(
+        action_dim=probe.action_dim,
+        num_primitives=int(e.get("num_prim", 3)),
+        units=tuple(l.get("pnn_units", (512, 512))),
+    )
+    params = pnn.init(
+        jax.random.PRNGKey(int(cfg["seed"]) + 13),
+        jnp.zeros((1, probe.obs_dim)),
+    )["params"]
+    return pnn, params, None
 
 
 def wrap_env_z(cfg, env):

@@ -30,13 +30,17 @@ class TestConfigTree:
         motion = run_mod.build_motion_from_cfg(cfg, spec)
         env = run_mod.build_env_from_cfg(cfg, model, motion)
         assert env.obs_dim > 300
-        assert env.action_dim in (69, 32)
+        # 69 motor dofs / 32 latent z / 3 MCP composer weights
+        assert env.action_dim in (69, 32, 3)
 
     @pytest.mark.parametrize("learning_name,env_name", [
         ("im_ppo", "im"),
         ("im_amp", "im"),
+        ("im_amp", "amp"),
+        ("im_ppo", "im_mcp"),
         ("im_z_fit", "im_vae"),
         ("pulse_z_task", "speed_z"),
+        ("pulse_z_task", "im_z"),
     ])
     def test_agent_builds(self, learning_name, env_name):
         cfg = load_config(
