@@ -28,11 +28,15 @@ import sys
 _TASK_TO_ENV = {
     "Humanoid": "im",
     "HumanoidIm": "im",
+    "HumanoidImDemo": "im",
+    "HumanoidImZ": "im_z",
     "HumanoidImGetup": "im_getup",
-    "HumanoidImMCP": "im",
-    "HumanoidImMCPGetup": "im_getup",
+    "HumanoidImMCP": "im_mcp",
+    "HumanoidImMCPDemo": "im_mcp",
+    "HumanoidImMCPGetup": "im_mcp_getup",
     "HumanoidImDistill": "im_vae",
     "HumanoidImDistillGetup": "im_vae",
+    "HumanoidAMP": "amp",
     "HumanoidAMPGetup": "amp_getup",
     "HumanoidSpeed": "speed",
     "HumanoidSpeedZ": "speed_z",
@@ -51,6 +55,10 @@ _ENV_TO_LEARNING = {
     "im": "im_ppo",
     "im_getup": "im_ppo",
     "im_shape": "im_ppo",
+    "im_mcp": "im_ppo",
+    "im_mcp_getup": "im_ppo",
+    "im_z": "pulse_z_task",
+    "amp": "im_amp",
     "amp_getup": "im_amp",
     "im_vae": "im_z_fit",
     "speed": "pulse_z_task",
@@ -123,8 +131,12 @@ def translate(args: argparse.Namespace) -> list[str]:
         env = args.cfg_env
     learning = args.cfg_train or _ENV_TO_LEARNING.get(env, "im_ppo")
     ov = [f"env={env}", f"learning={learning}"]
-    if args.task in ("HumanoidImMCP", "HumanoidImMCPGetup"):
-        print("note: MCP tasks need learning.teacher_pnn_checkpoint=<pth>")
+    if args.llc_checkpoint:
+        # ≙ cfg.llc_checkpoint -> load_pnn (humanoid_im_mcp.py:28-42)
+        ov.append(f"env.pnn_checkpoint={args.llc_checkpoint}")
+    elif args.task in ("HumanoidImMCP", "HumanoidImMCPGetup", "HumanoidImMCPDemo"):
+        print("note: MCP tasks need --llc_checkpoint <pth> "
+              "(-> env.pnn_checkpoint); falling back to a fresh PNN")
     if args.motion_file:
         ov.append(f"env.motion_file={args.motion_file}")
     if args.num_envs:

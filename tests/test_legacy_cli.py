@@ -47,6 +47,15 @@ def test_isaac_only_flags_are_accepted_noops(capsys):
     assert "not applicable" in out
 
 
+def test_llc_checkpoint_translates_to_pnn_checkpoint():
+    ov = _overrides(["--task", "HumanoidImMCP", "--llc_checkpoint", "pnn.pth"])
+    assert "env=im_mcp" in ov
+    assert "env.pnn_checkpoint=pnn.pth" in ov
+    # and the strict loader accepts it (im_mcp.yaml declares the key)
+    cfg = load_config(ov)
+    assert cfg["env"]["pnn_checkpoint"] == "pnn.pth"
+
+
 def test_unknown_task_errors():
     with pytest.raises(SystemExit):
         _overrides(["--task", "ShadowHand"])
