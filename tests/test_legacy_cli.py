@@ -3,7 +3,12 @@ get_args surface (phc/utils/config.py:208-473)."""
 
 import pytest
 
-from pulse_tpu.legacy_cli import _TASK_TO_ENV, build_parser, translate
+from pulse_tpu.legacy_cli import (
+    _ENV_TO_LEARNING,
+    _TASK_TO_ENV,
+    build_parser,
+    translate,
+)
 from pulse_tpu.utils.config import load_config
 
 
@@ -45,6 +50,13 @@ def test_isaac_only_flags_are_accepted_noops(capsys):
     assert ov[0] == "env=im"
     out = capsys.readouterr().out
     assert "not applicable" in out
+
+
+def test_every_mapped_env_has_explicit_learning_pairing():
+    """A task whose env group misses _ENV_TO_LEARNING silently falls back
+    to im_ppo — require the pairing to be explicit."""
+    missing = sorted(set(_TASK_TO_ENV.values()) - set(_ENV_TO_LEARNING))
+    assert not missing, f"env groups without a learning pairing: {missing}"
 
 
 def test_llc_checkpoint_translates_to_pnn_checkpoint():
