@@ -51,8 +51,8 @@ class _AMPSurfaceMixin:
             return state.self_obs_hist.reshape(-1)
         return self._self_obs_single(state)
 
-    def _finish_step(self, state, physics, pd_target, model) -> EnvState:
-        out = super()._finish_step(state, physics, pd_target, model)
+    def _finish_step(self, state, physics, pd_target, model, sampling_prob=None) -> EnvState:
+        out = super()._finish_step(state, physics, pd_target, model, sampling_prob)
         # constant task reward (humanoid.py:1567-1570); the AMP mix adds style
         return out.replace(
             reward=jnp.ones_like(out.reward),

@@ -294,10 +294,12 @@ class HumanoidImEnv:
         return kernels.build_amp_observations_smpl(*args, **kw)
 
     def _disc_extra_parts(self, shape_obs):
-        """Slices of the per-env shape row for the disc obs trailing
-        channels ([gender+betas 11] iff has_shape_obs_disc, [limb 10] iff
+        """Slices of the shape row(s) for the disc obs trailing channels
+        ([gender+betas 11] iff has_shape_obs_disc, [limb 10] iff
         has_limb_weight_obs — ≙ the shape_params/limb_weight_params args of
-        build_amp_observations_smpl*, humanoid_amp.py:924-1017)."""
+        build_amp_observations_smpl*, humanoid_amp.py:924-1017). Accepts a
+        single per-env row [E] or per-sample rows [n, E] (the demo path,
+        where each sample carries its own clip's params)."""
         cfg = self.config
         shape = limb = None
         if cfg.has_shape_obs_disc or cfg.has_limb_weight_obs:
@@ -306,16 +308,20 @@ class HumanoidImEnv:
                 if shape_obs is not None
                 else jnp.zeros(self.shape_extra_dim)
             )
+            rows = row if row.ndim == 2 else row[None]
             if cfg.has_shape_obs_disc:
-                shape = row[None, :11]
+                shape = rows[:, :11]
             if cfg.has_limb_weight_obs:
-                limb = row[None, -10:]
+                limb = rows[:, -10:]
         return shape, limb
 
     def amp_obs_from_motion_state(self, st: dict, shape_obs=None) -> jax.Array:
         """Disc obs rows [n, A] from a get_motion_state dict — the demo
-        fetch / RSI window path. Demo shape channels come from `shape_obs`
-        (zeros when None: the motion store carries no per-clip betas)."""
+        fetch / RSI window path. Demo shape channels come from `shape_obs`:
+        a single row [E] (agent-side windows) or per-sample rows [n, E]
+        (demo fetch, each sample carrying its own clip's gender+betas —
+        ≙ motion_bodies in build_amp_obs_demo, humanoid_amp.py:253-284);
+        zeros when None."""
         n = st["root_pos"].shape[0]
         shape_p, limb_p = self._disc_extra_parts(shape_obs)
         kw = dict(
@@ -416,9 +422,10 @@ class HumanoidImEnv:
         model: Model | None = None,
         shape_obs: jax.Array | None = None,
         with_obs: bool = True,
+        sampling_prob: jax.Array | None = None,
     ) -> EnvState:
         k_motion, k_time, k_next = jax.random.split(key, 3)
-        motion_id = sample_motions(k_motion, self.motion, 1)[0]
+        motion_id = sample_motions(k_motion, self.motion, 1, prob=sampling_prob)[0]
         start_time = self._sample_init_time(k_time, motion_id)
         return self._reset_to(
             k_next, motion_id, start_time, model, shape_obs, with_obs
@@ -685,7 +692,13 @@ class HumanoidImEnv:
         correct."""
         return action
 
-    def step_one(self, state: EnvState, action: jax.Array, model: Model | None = None) -> EnvState:
+    def step_one(
+        self,
+        state: EnvState,
+        action: jax.Array,
+        model: Model | None = None,
+        sampling_prob: jax.Array | None = None,
+    ) -> EnvState:
         model = self.model if model is None else model
         action = self._dr_action_noise(state, action)
         action = self.motor_actions_one(state, action)
@@ -705,10 +718,15 @@ class HumanoidImEnv:
         else:  # isaac_pd (default, the reference's training configuration)
             pd_target = self.action_to_pd_target(action, model)
             physics = physics_step(model, state.physics, pd_target)
-        return self._finish_step(state, physics, pd_target, model)
+        return self._finish_step(state, physics, pd_target, model, sampling_prob)
 
     def _finish_step(
-        self, state: EnvState, physics, pd_target: jax.Array, model: Model
+        self,
+        state: EnvState,
+        physics,
+        pd_target: jax.Array,
+        model: Model,
+        sampling_prob: jax.Array | None = None,
     ) -> EnvState:
         """Everything after the physics advance: reward, termination, obs,
         auto-reset. Split out so variants (projectiles, coupled props) can
@@ -792,7 +810,10 @@ class HumanoidImEnv:
         # the most expensive part of the step after physics, and computing it
         # for both branches doubled that cost.
         k_reset, k_keep = jax.random.split(state.key)
-        fresh = self.reset_one(k_reset, model, state.shape_obs, with_obs=False)
+        fresh = self.reset_one(
+            k_reset, model, state.shape_obs, with_obs=False,
+            sampling_prob=sampling_prob,
+        )
         next_state = jax.tree.map(
             lambda a, b: jnp.where(
                 jnp.reshape(reset, (1,) * a.ndim) if a.ndim else reset, a, b
@@ -876,11 +897,15 @@ class HumanoidImEnv:
     def reset_to(self, keys: jax.Array, motion_ids: jax.Array, times: jax.Array) -> EnvState:
         return jax.vmap(self.reset_to_one)(keys, motion_ids, times)
 
-    def step(self, states: EnvState, actions: jax.Array) -> EnvState:
+    def step(
+        self,
+        states: EnvState,
+        actions: jax.Array,
+        sampling_prob: jax.Array | None = None,
+    ) -> EnvState:
         B = actions.shape[0]
         if (
             self._pallas_eligible
-            and self.batched_model is None
             and (jax.default_backend() == "tpu" or self._pallas_interpret)
             and (B % 1024 == 0 or self.mesh is not None)
             # multi-chip without an explicit mesh must fall back to the vmap
@@ -891,33 +916,53 @@ class HumanoidImEnv:
             # one kernel for all substeps of the whole batch (launch/copy
             # bound otherwise — see physics/substep_pallas.py). Under a DP
             # mesh, shard_map runs the kernel per device shard (GSPMD can't
-            # partition a pallas_call by itself).
+            # partition a pallas_call by itself). With shape variation /
+            # prop DR, the per-env model leaves enter the kernel as block
+            # inputs (build_model_rows) instead of forcing the XLA fallback.
             from pulse_tpu.physics.substep_pallas import (
                 pallas_physics_step,
                 sharded_pallas_physics_step,
             )
 
+            bm = self.batched_model
+            model_rows = None if bm is None else self._batched_model_rows(B)
             actions = jax.vmap(self._dr_action_noise)(states, actions)
             actions = jax.vmap(self.motor_actions_one)(states, actions)
-            pd_target = self.action_to_pd_target(actions)
+            pd_target = self.action_to_pd_target(
+                actions, self.model if bm is None else bm
+            )
             if self.mesh is not None:
                 physics = sharded_pallas_physics_step(
                     self.model, self.mesh, states.physics, pd_target,
-                    interpret=self._pallas_interpret,
+                    model_rows, interpret=self._pallas_interpret,
                 )
             else:
                 physics = pallas_physics_step(
                     self.model, states.physics, pd_target,
-                    interpret=self._pallas_interpret,
+                    model_rows=model_rows, interpret=self._pallas_interpret,
                 )
-            if self._fused_step_ok():
-                return self._finish_step_fused(states, physics)
+            if bm is None and self._fused_step_ok():
+                return self._finish_step_fused(states, physics, sampling_prob)
+            if bm is None:
+                return jax.vmap(
+                    lambda s, p, t: self._finish_step(
+                        s, p, t, self.model, sampling_prob
+                    )
+                )(states, physics, pd_target)
+            # per-env models: the post-physics bookkeeping (resets FK through
+            # the env's own skeleton) threads the batched model through
             return jax.vmap(
-                lambda s, p, t: self._finish_step(s, p, t, self.model)
-            )(states, physics, pd_target)
+                lambda s, p, t, m: self._finish_step(s, p, t, m, sampling_prob)
+            )(states, physics, pd_target, bm)
+        # sampling_prob is shared across envs: closing over it inside the
+        # vmapped lambda is in_axes=None broadcasting
         if self.batched_model is None:
-            return jax.vmap(self.step_one)(states, actions)
-        return jax.vmap(self.step_one)(states, actions, self.batched_model)
+            return jax.vmap(
+                lambda s, a: self.step_one(s, a, sampling_prob=sampling_prob)
+            )(states, actions)
+        return jax.vmap(
+            lambda s, a, m: self.step_one(s, a, m, sampling_prob=sampling_prob)
+        )(states, actions, self.batched_model)
 
     # ------------------------------------------------------------------ #
     # fused Pallas post-physics path (env/pallas_obs.py): reward + AMP obs
@@ -970,7 +1015,12 @@ class HumanoidImEnv:
             self._fused_consts_cache = e
         return e
 
-    def _finish_step_fused(self, states: EnvState, physics) -> EnvState:
+    def _finish_step_fused(
+        self,
+        states: EnvState,
+        physics,
+        sampling_prob: jax.Array | None = None,
+    ) -> EnvState:
         """Batched _finish_step with the two pallas_obs kernels in place of
         the XLA reward/amp/obs pipelines. Semantically identical to
         vmap(_finish_step) on the supported surface (golden-tested in
@@ -1018,7 +1068,11 @@ class HumanoidImEnv:
 
         ks = jax.vmap(jax.random.split)(states.key)
         k_reset, k_keep = ks[:, 0], ks[:, 1]
-        fresh = jax.vmap(lambda k: self.reset_one(k, with_obs=False))(k_reset)
+        fresh = jax.vmap(
+            lambda k: self.reset_one(
+                k, with_obs=False, sampling_prob=sampling_prob
+            )
+        )(k_reset)
         merged = jax.tree.map(
             lambda a, b: jnp.where(
                 reset.reshape((B,) + (1,) * (a.ndim - 1)), a, b
@@ -1042,6 +1096,17 @@ class HumanoidImEnv:
             obs=obs, reward=reward, reward_raw=reward_raw,
             done=reset, terminate=terminate,
         )
+
+    def _batched_model_rows(self, B: int) -> jax.Array:
+        """Flattened per-env model rows for the Pallas kernel, cached per
+        batched_model identity (shape/prop resampling swaps the model)."""
+        bm = self.batched_model
+        cached = getattr(self, "_model_rows_cache", None)
+        if cached is None or cached[0] is not bm or cached[1].shape[0] != B:
+            from pulse_tpu.physics.substep_pallas import build_model_rows
+
+            self._model_rows_cache = (bm, build_model_rows(bm, B))
+        return self._model_rows_cache[1]
 
     def _ctor_kwargs(self) -> dict:
         """Extra constructor kwargs beyond (model, motion, config).

@@ -73,7 +73,8 @@ class HumanoidImPerturbEnv(HumanoidImEnv):
     # ------------------------------------------------------------------ #
 
     def step_proj_one(
-        self, state: EnvState, proj: PropState, action: jax.Array
+        self, state: EnvState, proj: PropState, action: jax.Array,
+        sampling_prob=None,
     ) -> tuple[EnvState, PropState]:
         cfg: PerturbConfig = self.config
         model = self.model
@@ -81,7 +82,7 @@ class HumanoidImPerturbEnv(HumanoidImEnv):
         physics, proj, _ = physics_step_with_prop(
             model, self.proj_spec, state.physics, proj, pd_target
         )
-        out = self._finish_step(state, physics, pd_target, model)
+        out = self._finish_step(state, physics, pd_target, model, sampling_prob)
 
         relaunch = (state.progress % cfg.proj_interval) == (cfg.proj_interval - 1)
         fresh = self._launch(jax.random.fold_in(state.key, 33), physics.root_pos)
@@ -102,6 +103,8 @@ class HumanoidImPerturbEnv(HumanoidImEnv):
         )
         return states, projs
 
-    def step(self, carry, actions):
+    def step(self, carry, actions, sampling_prob=None):
         states, projs = carry
-        return jax.vmap(self.step_proj_one)(states, projs, actions)
+        return jax.vmap(
+            lambda s, p, a: self.step_proj_one(s, p, a, sampling_prob)
+        )(states, projs, actions)

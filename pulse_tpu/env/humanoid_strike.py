@@ -105,7 +105,9 @@ class HumanoidStrikeEnv(HumanoidTaskEnv):
 
     # ------------------------------------------------------------------ #
 
-    def step_one(self, state: TaskEnvState, action: jax.Array) -> TaskEnvState:
+    def step_one(
+        self, state: TaskEnvState, action: jax.Array, sampling_prob=None
+    ) -> TaskEnvState:
         pd_target = self.action_to_pd_target(action)
         physics, prop, prop_contact = physics_step_with_prop(
             self.model, self.prop_spec, state.physics, state.task["prop"], pd_target
@@ -149,7 +151,7 @@ class HumanoidStrikeEnv(HumanoidTaskEnv):
         stepped = stepped.replace(obs=self._observe(stepped), amp_hist=amp_hist)
 
         k_reset, k_keep = jax.random.split(state.key)
-        fresh = self.reset_one(k_reset)
+        fresh = self.reset_one(k_reset, sampling_prob)
         nxt = jax.tree.map(
             lambda a, b: jnp.where(
                 jnp.reshape(reset, (1,) * a.ndim) if a.ndim else reset, a, b

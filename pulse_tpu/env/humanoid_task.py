@@ -178,9 +178,9 @@ class HumanoidTaskEnv:
             root_height_obs=self.config.root_height_obs,
         )[0]
 
-    def reset_one(self, key: jax.Array) -> TaskEnvState:
+    def reset_one(self, key: jax.Array, sampling_prob=None) -> TaskEnvState:
         k_motion, k_time, k_task, k_next = jax.random.split(key, 4)
-        motion_id = sample_motions(k_motion, self.motion, 1)[0]
+        motion_id = sample_motions(k_motion, self.motion, 1, prob=sampling_prob)[0]
         if self.config.state_init == "Start":
             t0 = jnp.zeros(())
         else:
@@ -234,7 +234,9 @@ class HumanoidTaskEnv:
     def action_to_pd_target(self, action: jax.Array) -> jax.Array:
         return self.model.pd_action_offset + self.model.pd_action_scale * action
 
-    def step_one(self, state: TaskEnvState, action: jax.Array) -> TaskEnvState:
+    def step_one(
+        self, state: TaskEnvState, action: jax.Array, sampling_prob=None
+    ) -> TaskEnvState:
         cfg = self.config
         prev_state = state
         pd_target = self.action_to_pd_target(action)
@@ -284,7 +286,7 @@ class HumanoidTaskEnv:
         stepped = stepped.replace(obs=self._observe(stepped), amp_hist=amp_hist)
 
         k_reset, k_keep = jax.random.split(state.key)
-        fresh = self.reset_one(k_reset)
+        fresh = self.reset_one(k_reset, sampling_prob)
         nxt = jax.tree.map(
             lambda a, b: jnp.where(
                 jnp.reshape(reset, (1,) * a.ndim) if a.ndim else reset, a, b
@@ -299,8 +301,12 @@ class HumanoidTaskEnv:
     def reset(self, keys: jax.Array) -> TaskEnvState:
         return jax.vmap(self.reset_one)(keys)
 
-    def step(self, states: TaskEnvState, actions: jax.Array) -> TaskEnvState:
-        return jax.vmap(self.step_one)(states, actions)
+    def step(
+        self, states: TaskEnvState, actions: jax.Array, sampling_prob=None
+    ) -> TaskEnvState:
+        return jax.vmap(
+            lambda s, a: self.step_one(s, a, sampling_prob)
+        )(states, actions)
 
 
 # --------------------------------------------------------------------------- #

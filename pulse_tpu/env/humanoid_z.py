@@ -81,7 +81,9 @@ class ZActionWrapper:
             self.env.with_config(config), self.network, self.frozen
         )
 
-    def step(self, states, action_z: jax.Array):
+    def step(self, states, action_z: jax.Array, sampling_prob=None):
         self_obs_raw = states.obs[..., : self.network.self_obs_dim]
         motor_action = self.decode_z(self_obs_raw, action_z)
-        return self.env.step(states, jnp.clip(motor_action, -1.0, 1.0))
+        return self.env.step(
+            states, jnp.clip(motor_action, -1.0, 1.0), sampling_prob
+        )

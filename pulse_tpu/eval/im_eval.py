@@ -91,8 +91,14 @@ def im_eval(
     batch_size: int = 64,
     termination_distance: float = 0.5,
     collect_pa: bool = True,
+    mesh=None,
 ) -> EvalResult:
-    """policy_fn: obs [B, O] -> deterministic action [B, A]."""
+    """policy_fn: obs [B, O] -> deterministic action [B, A].
+
+    With `mesh`, the eval batch's motion ids are placed sharded over the
+    mesh's data axis, so GSPMD partitions the whole rollout scan across
+    devices (the sharded counterpart of the reference's per-rank eval split,
+    im_amp.py:136-242 under Horovod)."""
     motion = env.motion
     M = int(motion.num_motions)
     dt = env.model.config.control_dt
@@ -184,7 +190,14 @@ def im_eval(
         pad = batch_size - len(ids)
         ids_p = np.concatenate([ids, np.full(pad, ids[-1])]) if pad else ids
         key, k = jax.random.split(key)
-        failed, sums = eval_batch_j(jnp.asarray(ids_p), k)
+        ids_dev = jnp.asarray(ids_p)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            ids_dev = jax.device_put(
+                ids_dev, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            )
+        failed, sums = eval_batch_j(ids_dev, k)
         failed = np.asarray(failed)[: len(ids)]
         failed_all[ids] = failed
         n_b = np.maximum(np.asarray(sums["n"][: len(ids)]), 1.0)

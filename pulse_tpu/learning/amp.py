@@ -143,15 +143,40 @@ class AMPModule:
 
     def _build_demo_steps(self, ids: jax.Array, t0: jax.Array, steps: int) -> jax.Array:
         """AMP obs for `steps` consecutive frames ending at t0, newest first
-        (≙ build_amp_obs_demo_steps, humanoid_amp.py:232-284). [n, steps*dim]."""
+        (≙ build_amp_obs_demo_steps, humanoid_amp.py:232-284). [n, steps*dim].
+
+        When the disc obs carry shape/limb channels, each demo row gets ITS
+        OWN clip's [gender, betas] + limb weights from the motion store
+        (≙ motion_bodies/motion_limb_weights threaded through
+        _compute_amp_observations_from_state) — zeros here would let the
+        discriminator separate agent vs demo by the shape channel alone."""
         dt = self.env.model.config.control_dt
         times = t0[:, None] - jnp.arange(steps, dtype=jnp.float32)[None, :] * dt
         flat_ids = jnp.repeat(ids, steps)
         st = get_motion_state(self.env.motion, flat_ids, times.reshape(-1))
-        # amp_obs_from_motion_state handles amp_obs_v + the shape/limb disc
-        # channels (zeros on the demo side: the store has no per-clip betas)
-        obs = self.env.amp_obs_from_motion_state(st)
+        obs = self.env.amp_obs_from_motion_state(
+            st, self._demo_shape_rows(flat_ids)
+        )
         return obs.reshape(ids.shape[0], -1)
+
+    def _demo_shape_rows(self, flat_ids: jax.Array) -> jax.Array | None:
+        """Per-sample [n, shape_extra_dim] rows gathered from the store's
+        per-clip shape params, laid out like the env's combined shape row
+        ([gender+betas 11?] ++ [limb 10?]); None when the disc obs carry no
+        shape channels."""
+        cfg = self.env.config
+        if not (
+            getattr(cfg, "has_shape_obs_disc", False)
+            or getattr(cfg, "has_limb_weight_obs", False)
+        ):
+            return None
+        m = self.env.motion
+        parts = []
+        if getattr(cfg, "has_shape_obs", False):
+            parts.append(m.shape_params[flat_ids])
+        if getattr(cfg, "has_limb_weight_obs", False):
+            parts.append(m.limb_weights[flat_ids])
+        return jnp.concatenate(parts, axis=-1)
 
     def fetch_demo_enc_pair(self, key: jax.Array, n: int, enc_steps: int = 30):
         """CALM-style encoder/discriminator demo pair (≙

@@ -56,6 +56,8 @@ class DistillState:
     env_state: Any
     key: jax.Array
     epoch: jax.Array
+    # live PMCP clip-sampling weights (see ppo.TrainState.motion_prob)
+    motion_prob: Any = None
 
 
 class DistillAgent:
@@ -86,6 +88,7 @@ class DistillAgent:
         obs0 = jnp.zeros((1, self.env.obs_dim))
         z0 = jnp.zeros((1, self.network.latent_dim))
         params = self.network.init(k_net, obs0, z0)["params"]
+        motion = getattr(self.env, "motion", None)
         return DistillState(
             params=params,
             opt_state=self.optimizer.init(params),
@@ -93,6 +96,8 @@ class DistillAgent:
             env_state=env_state,
             key=k_next,
             epoch=jnp.zeros((), jnp.int32),
+            # copied: the train loop donates this state (see ppo.init)
+            motion_prob=None if motion is None else jnp.array(motion.sampling_prob),
         )
 
     # ------------------------------------------------------------------ #
@@ -117,7 +122,7 @@ class DistillAgent:
             out = self._student_action(ds.params, ds.obs_rms, obs, z_noise)
             action = jnp.clip(out["action_mu"], -1.0, 1.0)
             gt_action = self.teacher_fn(obs)
-            next_env_state = self.env.step(env_state, action)
+            next_env_state = self.env.step(env_state, action, ds.motion_prob)
             return (next_env_state, key), {
                 "obs": obs,
                 "gt_action": gt_action,

@@ -71,6 +71,11 @@ class TrainState:
     key: jax.Array
     epoch: jax.Array
     hidden: Any = None      # recurrent carry [B, ...] (RNN networks only)
+    # live PMCP clip-sampling weights [M], threaded into the env step's
+    # auto-resets so update_{hard,soft}_sampling_weight is a device write
+    # instead of a retrace (≙ motion_lib_base.py:378-384); None for envs
+    # without a motion store
+    motion_prob: Any = None
 
 
 @struct.dataclass
@@ -140,6 +145,7 @@ class PPOAgent:
         else:
             variables = self.network.init(k_net, obs0)
         params = variables["params"]
+        motion = getattr(self.env, "motion", None)
         return TrainState(
             hidden=hidden,
             params=params,
@@ -149,6 +155,10 @@ class PPOAgent:
             env_state=env_state,
             key=k_next,
             epoch=jnp.zeros((), jnp.int32),
+            # copy: ts is donated by the train loop, and donating the store's
+            # own sampling_prob buffer would delete it out from under the
+            # trace constants that still reference it
+            motion_prob=None if motion is None else jnp.array(motion.sampling_prob),
         )
 
     # ------------------------------------------------------------------ #
@@ -178,7 +188,9 @@ class PPOAgent:
             env_state, key = carry
             key, k_act = jax.random.split(key)
             action, mu, neglogp, value = self._policy_step(ts, env_state, k_act)
-            next_env_state = self.env.step(env_state, jnp.clip(action, -1.0, 1.0))
+            next_env_state = self.env.step(
+                env_state, jnp.clip(action, -1.0, 1.0), ts.motion_prob
+            )
             out = Rollout(
                 obs=env_state.obs,
                 actions=action,
@@ -239,7 +251,9 @@ class PPOAgent:
             eps = jax.random.normal(k_act, mu.shape)
             action = mu + jnp.exp(log_sigma) * eps
             neglogp = gaussian_neglogp(mu, log_sigma, action)
-            next_env_state = self.env.step(env_state, jnp.clip(action, -1.0, 1.0))
+            next_env_state = self.env.step(
+                env_state, jnp.clip(action, -1.0, 1.0), ts.motion_prob
+            )
             out = Rollout(
                 obs=obs,
                 actions=action,

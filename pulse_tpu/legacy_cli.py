@@ -132,8 +132,19 @@ def translate(args: argparse.Namespace) -> list[str]:
     learning = args.cfg_train or _ENV_TO_LEARNING.get(env, "im_ppo")
     ov = [f"env={env}", f"learning={learning}"]
     if args.llc_checkpoint:
-        # ≙ cfg.llc_checkpoint -> load_pnn (humanoid_im_mcp.py:28-42)
-        ov.append(f"env.pnn_checkpoint={args.llc_checkpoint}")
+        # ≙ cfg.llc_checkpoint -> load_pnn (humanoid_im_mcp.py:28-42).
+        # Only translate to a key the target env group actually declares:
+        # MCP groups take env.pnn_checkpoint, Z groups take env.z_checkpoint
+        # (their frozen-decoder key); anywhere else the reference treats the
+        # flag as inert, so we report it rather than emit an override the
+        # strict loader would reject.
+        if env in ("im_mcp", "im_mcp_getup"):
+            ov.append(f"env.pnn_checkpoint={args.llc_checkpoint}")
+        elif env in ("im_z", "speed_z", "reach_z", "strike_z", "traj_z"):
+            ov.append(f"env.z_checkpoint={args.llc_checkpoint}")
+        else:
+            print(f"note: --llc_checkpoint accepted but ignored for env "
+                  f"group {env!r} (only MCP/Z tasks consume it)")
     elif args.task in ("HumanoidImMCP", "HumanoidImMCPGetup", "HumanoidImMCPDemo"):
         print("note: MCP tasks need --llc_checkpoint <pth> "
               "(-> env.pnn_checkpoint); falling back to a fresh PNN")

@@ -83,14 +83,28 @@ def _load_reference_pkl(path: str, tree: SkeletonTree) -> list[dict]:
             # velocities are defined (≙ convert_data_smpl.py's 2-frame hold)
             lr = np.repeat(lr, 2, axis=0)
             rt = np.repeat(rt.reshape(1, 3), 2, axis=0)
-        clips.append(
-            {
-                "fps": fps,
-                "local_rotation": lr,
-                "root_translation": rt,
-                "name": str(key),
-            }
-        )
+        clip = {
+            "fps": fps,
+            "local_rotation": lr,
+            "root_translation": rt,
+            "name": str(key),
+        }
+        # per-clip shape row [gender, betas(10)] (≙ gender_beta in the
+        # reference's motion store, motion_lib_smpl.py:121-128; gender
+        # code 0=neutral 1=male 2=female per convert_amass_isaac.py)
+        if "beta" in entry:
+            beta = np.asarray(entry["beta"], np.float32).reshape(-1)[:10]
+            beta = np.pad(beta, (0, 10 - beta.shape[0]))
+            gender = entry.get("gender", "neutral")
+            if isinstance(gender, bytes):
+                gender = gender.decode()
+            code = {"neutral": 0.0, "male": 1.0, "female": 2.0}.get(
+                str(gender), 0.0
+            )
+            clip["shape_params"] = np.concatenate([[code], beta]).astype(
+                np.float32
+            )
+        clips.append(clip)
     if not clips:
         raise ValueError(f"{path}: no usable clips")
     return clips

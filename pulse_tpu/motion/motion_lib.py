@@ -52,6 +52,12 @@ class MotionData:
     motion_fps: jax.Array      # [M]
     motion_dt: jax.Array       # [M]
     sampling_prob: jax.Array   # [M] categorical clip-sampling distribution
+    # per-clip body-shape conditioning (≙ motion_bodies/motion_limb_weights
+    # in the reference's get_motion_state, motion_lib_base.py:434-517):
+    # [gender, betas(10)] from the source pkl and the 10 limb length/mass
+    # group sums; zeros for clips without shape data (synthetic store)
+    shape_params: jax.Array = None    # [M, 11]
+    limb_weights: jax.Array = None    # [M, 10]
 
     @property
     def num_motions(self) -> int:
@@ -143,7 +149,21 @@ def build_motion_data(
         if sampling_prob is None
         else np.asarray(sampling_prob, np.float32)
     )
+    shape_rows = np.stack(
+        [
+            np.asarray(c.get("shape_params", np.zeros(11)), np.float32)
+            for c in clips
+        ]
+    )
+    limb_rows = np.stack(
+        [
+            np.asarray(c.get("limb_weights", np.zeros(10)), np.float32)
+            for c in clips
+        ]
+    )
     return MotionData(
+        shape_params=jnp.asarray(shape_rows),
+        limb_weights=jnp.asarray(limb_rows),
         gts=jnp.concatenate(gts_l),
         grs=jnp.concatenate(grs_l),
         gvs=jnp.concatenate(gvs_l),
@@ -163,9 +183,17 @@ def build_motion_data(
 # sampling
 # --------------------------------------------------------------------------- #
 
-def sample_motions(key: jax.Array, data: MotionData, n: int) -> jax.Array:
-    """Categorical clip sampling by PMCP weights (motion_lib_base.py:395-398)."""
-    return jax.random.categorical(key, jnp.log(data.sampling_prob + 1e-12), shape=(n,))
+def sample_motions(
+    key: jax.Array, data: MotionData, n: int, prob: jax.Array | None = None
+) -> jax.Array:
+    """Categorical clip sampling by PMCP weights (motion_lib_base.py:395-398).
+
+    `prob` overrides the store's baked-in distribution: threading the live
+    PMCP weights ([M] device array) through the jitted train step makes
+    update_{hard,soft}_sampling_weight a device write instead of a retrace
+    (≙ motion_lib_base.py:378-384, where it is a plain tensor assignment)."""
+    p = data.sampling_prob if prob is None else prob
+    return jax.random.categorical(key, jnp.log(p + 1e-12), shape=(n,))
 
 
 def sample_time(

@@ -46,8 +46,13 @@ def replicate(mesh: Mesh, tree):
 
 
 def shard_train_state(mesh: Mesh, ts, axis_name: str = "data"):
-    """Shard a PPO/AMP/Distill TrainState: env states over the mesh,
+    """Shard a PPO/AMP/Distill/Joint TrainState: env states over the mesh,
     everything else (params, optimizer, normalizers, buffers) replicated."""
+    if hasattr(ts, "amp") and hasattr(ts, "distill"):  # JointTrainState
+        return ts.replace(
+            amp=shard_train_state(mesh, ts.amp, axis_name),
+            distill=shard_train_state(mesh, ts.distill, axis_name),
+        )
     if hasattr(ts, "ppo"):  # AMPTrainState
         return ts.replace(
             ppo=shard_train_state(mesh, ts.ppo, axis_name),

@@ -530,20 +530,47 @@ def build_teacher_from_cfg(cfg, env):
 
 def strip_env_state(ts):
     """Checkpoints hold model/optimizer/normalizer state only — env states
-    are ephemeral and num_envs-dependent (≙ rl-games save/restore scope).
-    A fixed placeholder leaf keeps the checkpoint tree num_envs-agnostic."""
+    (num_envs-dependent) and PMCP sampling weights (num_motions-dependent)
+    are ephemeral (≙ rl-games save/restore scope). Fixed placeholder leaves
+    keep the checkpoint tree env/motion-count-agnostic."""
     placeholder = jnp.zeros(1)
+
+    def _strip(inner):
+        out = inner.replace(env_state=placeholder)
+        if getattr(inner, "motion_prob", None) is not None:
+            out = out.replace(motion_prob=placeholder)
+        return out
+
     if hasattr(ts, "ppo"):
-        return ts.replace(ppo=ts.ppo.replace(env_state=placeholder))
-    return ts.replace(env_state=placeholder)
+        return ts.replace(ppo=_strip(ts.ppo))
+    return _strip(ts)
 
 
 def attach_env_state(restored, fresh):
+    def _attach(r, f):
+        out = r.replace(env_state=f.env_state)
+        if getattr(f, "motion_prob", None) is not None:
+            out = out.replace(motion_prob=f.motion_prob)
+        return out
+
     if hasattr(restored, "ppo"):
-        return restored.replace(
-            ppo=restored.ppo.replace(env_state=fresh.ppo.env_state)
+        return restored.replace(ppo=_attach(restored.ppo, fresh.ppo))
+    return _attach(restored, fresh)
+
+
+def set_motion_prob(ts, prob):
+    """Write new PMCP sampling weights into whichever train-state shape the
+    agent uses — a pure device write; the jitted train step reuses its
+    compiled executable (≙ update_sampling_prob being a tensor assignment,
+    motion_lib_base.py:378-384)."""
+    if hasattr(ts, "amp") and hasattr(ts, "distill"):   # JointTrainState
+        return ts.replace(
+            amp=ts.amp.replace(ppo=ts.amp.ppo.replace(motion_prob=prob)),
+            distill=ts.distill.replace(motion_prob=prob),
         )
-    return restored.replace(env_state=fresh.env_state)
+    if hasattr(ts, "ppo"):
+        return ts.replace(ppo=ts.ppo.replace(motion_prob=prob))
+    return ts.replace(motion_prob=prob)
 
 
 def main(argv=None):
@@ -630,20 +657,19 @@ def main(argv=None):
 
         # periodic im_eval + PMCP hard-negative reweighting (≙ IMAmpAgent
         # eval feedback, im_amp.py:136-242 + update_hard_sampling_weight).
-        # The motion store is a trace constant, so a weight update rebuilds
-        # the jitted program — infrequent by design (shape_resampling-style
-        # cadence).
+        # The live weights are a train-state leaf threaded into the env's
+        # auto-resets, so the update is a device write — the compiled
+        # train_epoch executable is reused, no retrace.
         ef = int(cfg.get("eval_frequency", 0))
         if ef > 0 and epoch > epoch0 and epoch % ef == 0 and hasattr(env, "reset_to"):
             result = run_eval(cfg, env, agent, ts)
             from pulse_tpu.motion.motion_lib import update_hard_sampling_weight
             import jax.numpy as _jnp
 
-            motion = update_hard_sampling_weight(
+            prob = update_hard_sampling_weight(
                 env.motion, _jnp.asarray(result.failed_motions)
-            )
-            env.motion = motion
-            train = jax.jit(agent.train_epoch, donate_argnums=0)
+            ).sampling_prob
+            ts = set_motion_prob(ts, prob)
     save_checkpoint(ckpt_dir, int(cfg["max_epochs"]), strip_env_state(ts))
 
 

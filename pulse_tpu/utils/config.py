@@ -48,6 +48,26 @@ def _set_dotted(cfg: dict, dotted: str, value: Any) -> None:
     node[keys[-1]] = value
 
 
+def _load_group_yaml(config_dir: str, group: str, name: str, _seen: tuple = ()) -> dict:
+    """Load one group YAML with hydra-style group-level `defaults:` inheritance
+    (≙ phc/data/cfg group defaults semantics): a group file may name one or
+    more base files in the SAME group; bases compose first (in order), then
+    the file's own keys win. Chains are followed; cycles error."""
+    if name in _seen:
+        raise ValueError(f"cyclic defaults in {group}/: {' -> '.join(_seen + (name,))}")
+    node = _load_yaml(os.path.join(config_dir, group, f"{name}.yaml"))
+    bases = node.pop("defaults", None)
+    if bases is None:
+        return node
+    if isinstance(bases, str):
+        bases = [bases]
+    merged: dict = {}
+    for base in bases:
+        merged.update(_load_group_yaml(config_dir, group, base, _seen + (name,)))
+    merged.update(node)
+    return merged
+
+
 def load_config(overrides: list[str] | None = None, config_dir: str | None = None) -> dict:
     config_dir = config_dir or CONFIG_DIR
     root = _load_yaml(os.path.join(config_dir, "config.yaml"))
@@ -66,8 +86,7 @@ def load_config(overrides: list[str] | None = None, config_dir: str | None = Non
 
     cfg = dict(root)
     for group, name in selections.items():
-        path = os.path.join(config_dir, group, f"{name}.yaml")
-        cfg[group] = _load_yaml(path)
+        cfg[group] = _load_group_yaml(config_dir, group, name)
         cfg[group]["_name"] = name
 
     for ov in rest:

@@ -182,9 +182,9 @@ def test_joint_mode_single_rollout(env):
         def __getattr__(self, name):
             return getattr(env, name)
 
-        def step(self, states, actions):
+        def step(self, states, actions, sampling_prob=None):
             calls["n"] += 1
-            return real_step(states, actions)
+            return real_step(states, actions, sampling_prob)
 
     cenv = CountingEnv()
     net = ActorCritic(action_dim=env.action_dim, actor_units=(32,), critic_units=(32,))
@@ -209,3 +209,44 @@ def test_joint_mode_single_rollout(env):
     # the rollout scans over the horizon with ONE traced step call; a second
     # independent rollout would double this
     assert calls["n"] == 1, f"env.step traced {calls['n']} times, want 1"
+
+
+def test_demo_shape_channels_carry_clip_betas():
+    """has_shape_obs_disc demo rows must carry each CLIP's own
+    [gender, betas] from the motion store — not zeros, which would hand the
+    discriminator a trivial agent-vs-demo tell on shape-varied training
+    (≙ motion_bodies in build_amp_obs_demo, humanoid_amp.py:253-284)."""
+    from pulse_tpu.learning.amp import AMPModule
+
+    spec = load_smpl_humanoid()
+    model = build_model(spec, PhysicsConfig())
+    clips = make_synthetic_clips(spec.skeleton, num_clips=3, seconds=1.0)
+    rng = np.random.default_rng(3)
+    shape_rows = rng.normal(size=(3, 11)).astype(np.float32)
+    for c, row in zip(clips, shape_rows):
+        c["shape_params"] = row
+    motion = build_motion_data(spec.skeleton, clips)
+    np.testing.assert_array_equal(np.asarray(motion.shape_params), shape_rows)
+
+    env = HumanoidImEnv(
+        model,
+        motion,
+        EnvConfig(has_shape_obs=True, has_shape_obs_disc=True),
+    )
+    amp = AMPModule(env, small_amp_cfg())
+    demo = jax.jit(lambda k: amp.fetch_demo(k, 16))(jax.random.PRNGKey(0))
+    assert demo.shape == (16, env.amp_obs_dim)
+    S, A = env.config.num_amp_obs_steps, env.amp_obs_dim_single
+    rows = np.asarray(demo).reshape(16, S, A)
+    shape_channel = rows[..., A - 11 : A]   # trailing [gender, betas] block
+    # every demo row's shape channel matches exactly one clip's stored row,
+    # and it is constant across the window's steps
+    for i in range(16):
+        np.testing.assert_array_equal(
+            shape_channel[i], np.tile(shape_channel[i, 0], (S, 1))
+        )
+        dists = np.abs(shape_rows - shape_channel[i, 0]).max(axis=1)
+        assert dists.min() < 1e-6, f"demo {i} shape row matches no clip"
+    # with 16 draws over 3 uniform clips, more than one clip appears
+    matched = {int(np.argmin(np.abs(shape_rows - shape_channel[i, 0]).max(axis=1))) for i in range(16)}
+    assert len(matched) > 1

@@ -145,7 +145,7 @@ class ToyEnv:
     def reset(self, keys):
         return jax.vmap(self.reset_one)(keys)
 
-    def step(self, states, actions):
+    def step(self, states, actions, sampling_prob=None):
         return jax.vmap(self.step_one)(states, actions)
 
 

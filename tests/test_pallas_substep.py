@@ -180,3 +180,86 @@ class TestShardedPallas:
         np.testing.assert_allclose(
             np.asarray(out.reward), np.asarray(ref.reward), atol=1e-3
         )
+
+
+class TestBatchedModelRows:
+    """Per-env model leaves as kernel block inputs (shape variation / prop
+    DR on the Pallas hot path — round-3 VERDICT #8)."""
+
+    def test_rows_layout_matches_consts(self, model):
+        """build_model_rows must lay values out exactly where _model_tiles
+        reads them: broadcasting the SHARED model into rows and slicing any
+        row must reproduce _extract_consts' values."""
+        from pulse_tpu.physics.substep_pallas import (
+            _extract_consts,
+            _model_rows_layout,
+            build_model_rows,
+        )
+
+        B = 2
+        rows = np.asarray(build_model_rows(model, B))
+        assert np.array_equal(rows[0], rows[1])  # shared model -> same rows
+        c = _extract_consts(model)
+        J = model.num_bodies
+        P = len(c["cp_radius"])
+        lay, n_model = _model_rows_layout(J, P)
+        assert rows.shape == (B, n_model)
+        r = rows[0]
+        for b in range(J):
+            np.testing.assert_allclose(
+                r[lay["lt"][0] + 3 * b : lay["lt"][0] + 3 * b + 3],
+                c["lt"][b], rtol=1e-6)
+            assert abs(r[lay["mass"][0] + b] - c["mass"][b]) < 1e-6
+        for j in range(J - 1):
+            assert abs(r[lay["kp"][0] + j] - c["kp"][j]) < 1e-5
+            np.testing.assert_allclose(
+                r[lay["dof_lower"][0] + 3 * j : lay["dof_lower"][0] + 3 * j + 3],
+                c["dof_lower"][j], rtol=1e-6)
+        for i in range(P):
+            assert abs(r[lay["cp_radius"][0] + i] - c["cp_radius"][i]) < 1e-6
+            assert abs(r[lay["cp_friction"][0] + i] - c["cp_friction"][i]) < 1e-6
+        # Isym must reconstruct the A block of the spatial inertia
+        I6 = np.asarray(model.spatial_inertia)
+        idx = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        for b in range(J):
+            got = r[lay["Isym"][0] + 6 * b : lay["Isym"][0] + 6 * b + 6]
+            want = [I6[b, i, k] for i, k in idx]
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    @slow
+    def test_varied_batch_matches_xla(self):
+        """Toy-chain parity: the kernel fed per-env model rows must match
+        vmap(physics_step) over the SAME per-env-varied models (interpret
+        mode; full-size humanoid verified on TPU by check_pallas_tpu.py)."""
+        from pulse_tpu.assets.toy import make_toy_chain_spec
+        from pulse_tpu.physics.shape_variation import vary_model_scales
+        from pulse_tpu.physics.state import state_from_kinematics
+        from pulse_tpu.physics.substep_pallas import (
+            build_model_rows,
+            pallas_physics_step_padded,
+        )
+
+        spec = make_toy_chain_spec(3)
+        m = build_model(spec, PhysicsConfig(substeps=1, control_freq_inv=1))
+        B = 4
+        bm = vary_model_scales(m, jax.random.PRNGKey(0), B, (0.8, 1.2))
+        D = m.num_dof
+        state = jax.vmap(state_from_kinematics, in_axes=(0, 0, 0, 0, 0, 0, 0))(
+            bm,
+            jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (B, 1)),
+            jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (B, 1)),
+            0.1 * jnp.ones((B, D)),
+            jnp.zeros((B, 3)),
+            jnp.zeros((B, 3)),
+            jnp.zeros((B, D)),
+        )
+        pd = 0.1 * jnp.ones((B, D))
+        rows = build_model_rows(bm, B)
+        out = pallas_physics_step_padded(m, state, pd, rows, interpret=True)
+        ref = jax.jit(jax.vmap(physics_step, in_axes=(0, 0, 0)))(bm, state, pd)
+        np.testing.assert_allclose(
+            np.asarray(out.body_pos), np.asarray(ref.body_pos), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.body_vel), np.asarray(ref.body_vel), atol=5e-3
+        )

@@ -87,8 +87,44 @@ def main():
     assert err < 1e-6, f"sharded vs plain kernel mismatch: {err}"
     print("pallas shard_map path on TPU: OK")
 
+    batched_model_check(model, state, pd)
     trajectory_divergence(model, state)
     fused_finish_check(model)
+
+
+def batched_model_check(model, state, pd):
+    """Shape-varied batch through the kernel's model-rows path on the real
+    TPU (round-3 VERDICT missing #5 / next #8): per-env masses/inertias/
+    gains/limits/contact geometry enter as block inputs; parity against the
+    per-env-vmapped XLA step on the SAME varied models."""
+    from pulse_tpu.physics.shape_variation import vary_model_scales
+    from pulse_tpu.physics.substep_pallas import build_model_rows
+
+    B = state.root_pos.shape[0]
+    bm = vary_model_scales(model, jax.random.PRNGKey(11), B, (0.9, 1.1))
+    rows = build_model_rows(bm, B)
+    print(f"compiling batched-model kernel (model rows {rows.shape}) ...")
+    out = jax.jit(
+        lambda s, a, r: pallas_physics_step(model, s, a, model_rows=r)
+    )(state, pd, rows)
+    jax.block_until_ready(out)
+    ref = jax.jit(jax.vmap(physics_step, in_axes=(0, 0, 0)))(bm, state, pd)
+    jax.block_until_ready(ref)
+    checks = {
+        "root_pos": (6e-3, 2e-4),
+        "root_rot": (1e-2, 5e-4),
+        "body_pos": (2e-2, 8e-4),
+        "body_vel": (1.3, 2e-2),
+        "contact_force": (120.0, 0.5),
+    }
+    for name, (max_tol, med_tol) in checks.items():
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        d = np.abs(a - b).reshape(B, -1).max(axis=1)
+        print(f"  [shape-varied] {name:14s} max|diff| = {d.max():.3e}  median = {np.median(d):.3e}")
+        assert d.max() < max_tol, f"batched {name} max diverged: {d.max()}"
+        assert np.median(d) < med_tol, f"batched {name} median diverged: {np.median(d)}"
+    print("pallas batched-model (shape variation) path on TPU: OK")
 
 
 def fused_finish_check(model, B: int = 1024):

@@ -1,0 +1,348 @@
+"""PHC progressive curriculum on the hard synthetic suite.
+
+Runs the reference's quality recipe end to end (≙ the PNN/PMCP pipeline that
+produces PHC's ~99% AMASS coverage):
+
+  1. primitive 0: PPO imitation on ALL clips (≙ phc first-stage im training)
+  2. eval -> failed set; hard-negative PMCP: sampling weights collapse onto
+     the failed clips (≙ update_hard_sampling_weight,
+     motion_lib_base.py:348-360) — a device write on our side (motion_prob
+     train-state leaf), the compiled train step is reused
+  3. primitive k+1: column k's weights copied as the init
+     (≙ scripts/pmcp/forward_pmcp.py:55-59), trained on the failed set only
+  4. composer: assemble the columns into a frozen PNN, train an MCP composer
+     policy over them on ALL clips (≙ humanoid_im_mcp.py:44-92 +
+     amp_network_mcp_builder.py)
+  5. final eval of the composed policy on the full suite
+
+All PPO column stages share ONE compiled train_epoch (same program — only
+params/weights change), so the axon-tunnel compile cost is paid once for the
+columns and once for the composer.
+
+Stage snapshots (actor params + obs stats) are pickled under --out so a
+tunnel flake can resume without retraining finished stages.
+
+Usage:
+  python tools/curriculum.py --epochs 1500 --hard_epochs 1500 \
+      --composer_epochs 1000 --envs 2048 --out output/curriculum
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+# PULSE_PLATFORM=cpu runs the pipeline off-TPU (CI smoke); the container's
+# sitecustomize pins the axon TPU plugin, so the config update is required —
+# env vars alone don't re-pin (see CLAUDE.md)
+if os.environ.get("PULSE_PLATFORM"):
+    os.environ["JAX_PLATFORMS"] = os.environ["PULSE_PLATFORM"]
+    jax.config.update("jax_platforms", os.environ["PULSE_PLATFORM"])
+
+import jax.numpy as jnp
+
+
+def pnn_params_from_actors(actor_params_list, n_units):
+    """Assemble frozen PNN column params from per-stage ActorCritic params.
+
+    ActorCritic layout: MLP_0/Dense_{i} actor trunk + Dense_0 mu head
+    (networks.py:47-76) -> PNN layout col{c}_dense{i} + col{c}_out
+    (pnn.py:34-60, no laterals)."""
+    out = {}
+    for c, p in enumerate(actor_params_list):
+        trunk = p["MLP_0"]
+        for li in range(n_units):
+            out[f"col{c}_dense{li}"] = jax.tree.map(jnp.asarray, trunk[f"Dense_{li}"])
+        out[f"col{c}_out"] = jax.tree.map(jnp.asarray, p["Dense_0"])
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=1500, help="primitive-0 epochs")
+    ap.add_argument("--hard_epochs", type=int, default=1500, help="per hard column")
+    ap.add_argument("--composer_epochs", type=int, default=1000)
+    ap.add_argument("--max_columns", type=int, default=3)
+    ap.add_argument("--envs", type=int, default=2048)
+    ap.add_argument("--horizon", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pallas", choices=["on", "off"], default="on")
+    ap.add_argument("--out", default="output/curriculum")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    import dataclasses as dc
+
+    from pulse_tpu.assets import load_smpl_humanoid
+    from pulse_tpu.env import EnvConfig, HumanoidImEnv
+    from pulse_tpu.eval.im_eval import im_eval
+    from pulse_tpu.learning.networks import ActorCritic
+    from pulse_tpu.learning.ppo import PPOAgent, PPOConfig
+    from pulse_tpu.motion import build_motion_data
+    from pulse_tpu.motion.motion_lib import update_hard_sampling_weight
+    from pulse_tpu.motion.synthetic import make_hard_clips
+    from pulse_tpu.physics import PhysicsConfig, build_model
+
+    spec = load_smpl_humanoid()
+    model = build_model(spec, PhysicsConfig())
+    clips, names = make_hard_clips(spec.skeleton)
+    motion = build_motion_data(spec.skeleton, clips)
+    M = len(names)
+
+    env = HumanoidImEnv(
+        model, motion, EnvConfig(use_pallas_physics=(args.pallas == "on"))
+    )
+    eval_env = env.with_config(
+        dc.replace(env.config, enable_early_termination=False)
+    )
+    actor_units = (2048, 1536, 1024)
+    net = ActorCritic(action_dim=env.action_dim, actor_units=actor_units)
+    agent = PPOAgent(
+        env,
+        PPOConfig(
+            num_envs=args.envs,
+            horizon_length=args.horizon,
+            minibatch_size=16384,
+            mini_epochs=6,
+            learning_rate=2e-5,
+        ),
+        net,
+    )
+    train = jax.jit(agent.train_epoch, donate_argnums=0)
+    steps_per_epoch = args.envs * args.horizon
+
+    def run_stage(ts, epochs, tag):
+        t0 = time.time()
+        for epoch in range(epochs):
+            ts, metrics = train(ts)
+            if epoch % 100 == 0:
+                r = float(metrics["reward_mean"])
+                fps = steps_per_epoch * (epoch + 1) / (time.time() - t0)
+                print(f"[{tag}] epoch={epoch} reward={r:.4f} fps={fps:,.0f}",
+                      flush=True)
+        jax.block_until_ready(jax.tree.leaves(ts)[0])
+        print(f"[{tag}] {epochs} epochs in {time.time() - t0:.0f}s", flush=True)
+        return ts
+
+    def eval_policy(params, obs_rms, tag, on_env=None):
+        def policy_fn(obs):
+            mu, _, _ = net.apply({"params": params}, obs_rms.normalize(obs))
+            return jnp.clip(mu, -1.0, 1.0)
+
+        r = im_eval(on_env or eval_env, policy_fn, batch_size=M)
+        per = {
+            n: ("ok" if not r.failed_motions[i] else "FAIL")
+            + f" g={r.per_motion_mpjpe_g[i]:.0f}mm"
+            for i, n in enumerate(names)
+        }
+        print(f"[{tag}] success {int(M - r.failed_motions.sum())}/{M} "
+              f"pa={r.mpjpe_pa:.1f}mm {per}", flush=True)
+        return r
+
+    # ---------------------------------------------------------------- #
+    # column stages (resume from snapshots if present)
+    # ---------------------------------------------------------------- #
+    col_actors = []       # host copies of each column's actor-critic params
+    col_rms = []          # matching obs stats
+    col_evals = []
+    failed = np.ones(M, bool)
+    ts = agent.init(jax.random.PRNGKey(args.seed))
+
+    for col in range(args.max_columns):
+        snap = os.path.join(args.out, f"col{col}.pkl")
+        epochs = args.epochs if col == 0 else args.hard_epochs
+        if os.path.exists(snap):
+            with open(snap, "rb") as fh:
+                saved = pickle.load(fh)
+            params = jax.tree.map(jnp.asarray, saved["params"])
+            rms = ts.obs_rms.replace(
+                mean=jnp.asarray(saved["rms_mean"]),
+                var=jnp.asarray(saved["rms_var"]),
+                count=jnp.asarray(saved["rms_count"]),
+            )
+            ts = ts.replace(params=params, obs_rms=rms)
+            print(f"[col{col}] restored snapshot {snap}", flush=True)
+        else:
+            if col > 0:
+                # forward_pmcp: previous column's weights are the init, and
+                # training is confined to the failed set via hard PMCP
+                hard = update_hard_sampling_weight(
+                    env.motion, jnp.asarray(failed)
+                ).sampling_prob
+                ts = ts.replace(
+                    motion_prob=jnp.array(hard),
+                    opt_state=agent.optimizer.init(ts.params),
+                    epoch=jnp.zeros((), jnp.int32),
+                )
+            ts = run_stage(ts, epochs, f"col{col}")
+            with open(snap, "wb") as fh:
+                pickle.dump(
+                    {
+                        "params": jax.device_get(ts.params),
+                        "rms_mean": jax.device_get(ts.obs_rms.mean),
+                        "rms_var": jax.device_get(ts.obs_rms.var),
+                        "rms_count": jax.device_get(ts.obs_rms.count),
+                    },
+                    fh,
+                )
+        col_actors.append(jax.device_get(ts.params))
+        col_rms.append(ts.obs_rms)
+        r = eval_policy(
+            jax.tree.map(jnp.asarray, col_actors[-1]), col_rms[-1], f"col{col}"
+        )
+        col_evals.append(r)
+        new_failed = r.failed_motions.copy()
+        if col == 0:
+            failed = new_failed
+        else:
+            # the next column attacks what EVERY column so far still fails
+            failed = failed & new_failed
+        if not failed.any():
+            print(f"[col{col}] no remaining failures — stopping columns",
+                  flush=True)
+            break
+
+    # ---------------------------------------------------------------- #
+    # composer stage: frozen PNN over the columns, policy = mix weights
+    # ---------------------------------------------------------------- #
+    from pulse_tpu.env.humanoid_im_mcp import HumanoidImMCPEnv
+    from pulse_tpu.learning.pnn import PNN
+
+    n_cols = len(col_actors)
+    composer_result = None
+    if n_cols > 1 and args.composer_epochs > 0:
+        pnn = PNN(
+            action_dim=env.action_dim,
+            num_primitives=n_cols,
+            units=actor_units,
+            activation="silu",
+            has_lateral=False,
+        )
+        pnn_params = pnn_params_from_actors(col_actors, len(actor_units))
+        # all columns run under the LAST stage's input stats (columns share
+        # one normalizer in the reference's PNN forward)
+        frozen_rms = col_rms[-1].freeze()
+        mcp_env = HumanoidImMCPEnv(
+            model, motion, env.config, pnn=pnn, pnn_params=pnn_params,
+            obs_rms=frozen_rms,
+        )
+        comp_net = ActorCritic(
+            action_dim=n_cols, actor_units=(512, 256), critic_units=(512, 256)
+        )
+        comp_agent = PPOAgent(
+            mcp_env,
+            PPOConfig(
+                num_envs=args.envs,
+                horizon_length=args.horizon,
+                minibatch_size=16384,
+                mini_epochs=6,
+                learning_rate=2e-5,
+            ),
+            comp_net,
+        )
+        comp_train = jax.jit(comp_agent.train_epoch, donate_argnums=0)
+        cts = comp_agent.init(jax.random.PRNGKey(args.seed + 1))
+        snap = os.path.join(args.out, "composer.pkl")
+        if os.path.exists(snap):
+            with open(snap, "rb") as fh:
+                saved = pickle.load(fh)
+            cts = cts.replace(
+                params=jax.tree.map(jnp.asarray, saved["params"]),
+                obs_rms=cts.obs_rms.replace(
+                    mean=jnp.asarray(saved["rms_mean"]),
+                    var=jnp.asarray(saved["rms_var"]),
+                    count=jnp.asarray(saved["rms_count"]),
+                ),
+            )
+            print(f"[composer] restored snapshot {snap}", flush=True)
+        else:
+            t0 = time.time()
+            for epoch in range(args.composer_epochs):
+                cts, metrics = comp_train(cts)
+                if epoch % 100 == 0:
+                    r = float(metrics["reward_mean"])
+                    fps = steps_per_epoch * (epoch + 1) / (time.time() - t0)
+                    print(f"[composer] epoch={epoch} reward={r:.4f} "
+                          f"fps={fps:,.0f}", flush=True)
+            jax.block_until_ready(jax.tree.leaves(cts)[0])
+            with open(snap, "wb") as fh:
+                pickle.dump(
+                    {
+                        "params": jax.device_get(cts.params),
+                        "rms_mean": jax.device_get(cts.obs_rms.mean),
+                        "rms_var": jax.device_get(cts.obs_rms.var),
+                        "rms_count": jax.device_get(cts.obs_rms.count),
+                    },
+                    fh,
+                )
+
+        mcp_eval_env = mcp_env.with_config(
+            dc.replace(mcp_env.config, enable_early_termination=False)
+        )
+        comp_params, comp_rms = cts.params, cts.obs_rms
+
+        def comp_policy(obs):
+            mu, _, _ = comp_net.apply(
+                {"params": comp_params}, comp_rms.normalize(obs)
+            )
+            return jnp.clip(mu, -1.0, 1.0)
+
+        composer_result = im_eval(mcp_eval_env, comp_policy, batch_size=M)
+        print(
+            f"[composer] success "
+            f"{int(M - composer_result.failed_motions.sum())}/{M} "
+            f"pa={composer_result.mpjpe_pa:.1f}mm", flush=True
+        )
+
+    # ---------------------------------------------------------------- #
+    # report
+    # ---------------------------------------------------------------- #
+    def result_json(r):
+        return {
+            "success": int(M - r.failed_motions.sum()),
+            "mpjpe_g_mm": round(r.mpjpe_g, 2),
+            "mpjpe_l_mm": round(r.mpjpe_l, 2),
+            "mpjpe_pa_mm": round(r.mpjpe_pa, 2),
+            "per_clip": {
+                n: {
+                    "success": bool(~r.failed_motions[i]),
+                    "mpjpe_g_mm": round(float(r.per_motion_mpjpe_g[i]), 2),
+                }
+                for i, n in enumerate(names)
+            },
+        }
+
+    out = {
+        "suite": "hard_synthetic_v1",
+        "pallas": args.pallas,
+        "envs": args.envs,
+        "seed": args.seed,
+        "epochs": {
+            "col0": args.epochs,
+            "hard": args.hard_epochs,
+            "composer": args.composer_epochs,
+        },
+        "columns": [result_json(r) for r in col_evals],
+        "composer": None if composer_result is None else result_json(composer_result),
+        # the suite score: the best single final artifact (composed policy
+        # when trained, else the last column)
+        "final": result_json(composer_result or col_evals[-1]),
+        # union coverage across columns — what the composer has to reach
+        "column_union_success": int(
+            M - np.logical_and.reduce([r.failed_motions for r in col_evals]).sum()
+        ),
+    }
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(args.out, "curriculum.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
