@@ -37,11 +37,24 @@ def vary_model_scales(
         sp = s ** power
         return x[None] * sp.reshape((num_envs,) + (1,) * x.ndim)
 
+    # spatial inertia about the body origin scales BLOCK-WISE under an
+    # isotropic s: A = I_o ~ s^5, B = m c× ~ s^4, C = m I ~ s^3 (same as
+    # models_from_betas). A blanket s^5 made the C block inconsistent with
+    # body_mass (s^3) — effectively a ±20% gravity-response error across the
+    # 0.9-1.1 range, caught by the Pallas batched-model parity check (which
+    # reconstructs B/C from mass and com and thus disagreed with the s^5
+    # leaves).
+    F = jnp.zeros((num_envs, 1, 6, 6))
+    F = F.at[:, :, :3, :3].set(s[:, None, None, None] ** 5)
+    F = F.at[:, :, :3, 3:].set(s[:, None, None, None] ** 4)
+    F = F.at[:, :, 3:, :3].set(s[:, None, None, None] ** 4)
+    F = F.at[:, :, 3:, 3:].set(s[:, None, None, None] ** 3)
+
     return model.replace(
         local_translation=b(model.local_translation),
         body_mass=b(model.body_mass, 3.0),
         body_com=b(model.body_com),
-        spatial_inertia=b(model.spatial_inertia, 5.0),
+        spatial_inertia=model.spatial_inertia[None] * F,
         total_mass=b(model.total_mass, 3.0),
         joint_kp=b(model.joint_kp, 2.0),       # gains grow with inertia-ish
         joint_kd=b(model.joint_kd, 2.0),
