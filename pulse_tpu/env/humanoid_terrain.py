@@ -116,8 +116,8 @@ class HumanoidPedestrianTerrainEnv(HumanoidTrajEnv):
             xy,
         )
 
-    def reset_one(self, key):
-        state = super().reset_one(key)
+    def reset_one(self, key, sampling_prob=None):
+        state = super().reset_one(key, sampling_prob)
         # spawn on a random WALKABLE cell (≙ sample_valid_locations,
         # pedestrian_terrain.py:1176-1191 — both generated-curriculum and
         # scanned terrains carry a walkable table) and lift onto the ground

@@ -206,7 +206,11 @@ def make_hard_clips(tree: SkeletonTree, fps: float = 30.0) -> tuple[list[dict], 
     lr = base(T)
     seg = np.minimum((t // 1.0).astype(int), 3)
     head_targets = np.asarray([0.0, np.pi / 2, 0.0, -np.pi / 2])
-    frac = np.clip((t % 1.0) / 0.25, 0, 1)  # quarter-second blend
+    # quarter-second blend measured from the (clipped) segment start —
+    # (t % 1.0) put the final frame (t=4.0) at frac=0, snapping the heading
+    # -90° -> 0° in ONE frame (a 33.8 m/s body teleport that made the clip
+    # untrackable by ANY policy; success requires holding to the clip end)
+    frac = np.clip((t - seg) / 0.25, 0, 1)
     prev = head_targets[np.maximum(seg - 1, 0)]
     heading = prev + (head_targets[seg] - prev) * frac
     lr[:, 0] = _aa([0, 0, 1], heading)
@@ -223,7 +227,11 @@ def make_hard_clips(tree: SkeletonTree, fps: float = 30.0) -> tuple[list[dict], 
     )
     add("sharp_turns", lr, root)
 
-    # 6. crouch walk: pelvis at 0.62 m, deep flexion, 0.8 m/s
+    # 6. crouch walk: deep flexion, 0.8 m/s. Pelvis at 0.74 m: with this
+    # leg pose FK puts the feet AT the ground (median lowest-foot z ~+0.02,
+    # matching the walking clips); the original 0.62 m buried the feet
+    # 3-14 cm UNDER the floor for the whole clip — a physically impossible
+    # imitation target no policy (or oracle) could ever satisfy
     T = int(4.0 * fps) + 1
     t = np.arange(T) / fps
     ph = 2 * np.pi * 1.2 * t
@@ -234,7 +242,7 @@ def make_hard_clips(tree: SkeletonTree, fps: float = 30.0) -> tuple[list[dict], 
     set_joint(lr, "R_Knee", [0, 1, 0], 1.5 - 0.3 * np.sin(ph + np.pi / 2))
     set_joint(lr, "L_Ankle", [0, 1, 0], np.full(T, -0.6))
     set_joint(lr, "R_Ankle", [0, 1, 0], np.full(T, -0.6))
-    root = np.stack([0.8 * t, np.zeros(T), np.full(T, 0.62)], axis=-1)
+    root = np.stack([0.8 * t, np.zeros(T), np.full(T, 0.74)], axis=-1)
     add("crouch_walk", lr, root)
 
     return clips, clip_names

@@ -23,6 +23,15 @@ from pulse_tpu.physics.substep_pallas import ENVS_PER_BLOCK, pallas_physics_step
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only", default="",
+        choices=["", "parity", "batched", "traj", "fused"],
+        help="run a single check (skips the others' compiles)",
+    )
+    args = ap.parse_args()
     print("devices:", jax.devices())
     model = build_model(load_smpl_humanoid(), PhysicsConfig())
     B = ENVS_PER_BLOCK
@@ -38,6 +47,16 @@ def main():
         model, root_pos, root_rot, dof, root_vel, root_ang, dof_vel
     )
     pd = 0.2 * jax.random.normal(ks[6], (B, D))
+
+    if args.only == "batched":
+        batched_model_check(model, state, pd)
+        return
+    if args.only == "traj":
+        trajectory_divergence(model, state)
+        return
+    if args.only == "fused":
+        fused_finish_check(model)
+        return
 
     print("compiling pallas kernel on", jax.devices()[0].platform, "...")
     out = jax.jit(lambda s, a: pallas_physics_step(model, s, a))(state, pd)
@@ -86,6 +105,8 @@ def main():
     )
     assert err < 1e-6, f"sharded vs plain kernel mismatch: {err}"
     print("pallas shard_map path on TPU: OK")
+    if args.only == "parity":
+        return
 
     batched_model_check(model, state, pd)
     trajectory_divergence(model, state)

@@ -118,7 +118,13 @@ def main():
     train = jax.jit(agent.train_epoch, donate_argnums=0)
     steps_per_epoch = args.envs * args.horizon
 
-    def run_stage(ts, epochs, tag):
+    def run_stage(ts, epochs, tag, hard_mask=None, eval_every=500):
+        """Train `epochs`; for hard columns (hard_mask set), run the
+        in-training eval -> PMCP feedback loop every `eval_every` epochs
+        (≙ IMAmpAgent.eval + update_hard_sampling_weight,
+        im_amp.py:136-242): the sampling weights re-concentrate on the
+        clips STILL failing (a device write — no retrace), and the column
+        stops early once every hard clip passes."""
         t0 = time.time()
         for epoch in range(epochs):
             ts, metrics = train(ts)
@@ -127,6 +133,21 @@ def main():
                 fps = steps_per_epoch * (epoch + 1) / (time.time() - t0)
                 print(f"[{tag}] epoch={epoch} reward={r:.4f} fps={fps:,.0f}",
                       flush=True)
+            if (
+                hard_mask is not None
+                and epoch > 0
+                and epoch % eval_every == 0
+            ):
+                r_mid = eval_policy(ts.params, ts.obs_rms, f"{tag}@{epoch}")
+                still = r_mid.failed_motions & hard_mask
+                if not still.any():
+                    print(f"[{tag}] all hard clips pass at epoch {epoch} — "
+                          "early stop", flush=True)
+                    break
+                hard = update_hard_sampling_weight(
+                    env.motion, jnp.asarray(still)
+                ).sampling_prob
+                ts = ts.replace(motion_prob=jnp.array(hard))
         jax.block_until_ready(jax.tree.leaves(ts)[0])
         print(f"[{tag}] {epochs} epochs in {time.time() - t0:.0f}s", flush=True)
         return ts
@@ -181,7 +202,10 @@ def main():
                     opt_state=agent.optimizer.init(ts.params),
                     epoch=jnp.zeros((), jnp.int32),
                 )
-            ts = run_stage(ts, epochs, f"col{col}")
+            ts = run_stage(
+                ts, epochs, f"col{col}",
+                hard_mask=None if col == 0 else failed.copy(),
+            )
             with open(snap, "wb") as fh:
                 pickle.dump(
                     {
