@@ -98,7 +98,7 @@ def main():
     result = im_eval(eval_env, policy_fn, batch_size=len(names))
 
     out = {
-        "suite": "hard_synthetic_v1",
+        "suite": "hard_synthetic_v2",
         "pallas": args.pallas,
         "epochs": args.epochs,
         "envs": args.envs,

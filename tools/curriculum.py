@@ -344,7 +344,7 @@ def main():
         }
 
     out = {
-        "suite": "hard_synthetic_v1",
+        "suite": "hard_synthetic_v2",
         "pallas": args.pallas,
         "envs": args.envs,
         "seed": args.seed,
