@@ -38,8 +38,17 @@ class _MCPMixin:
         """weights -> blended primitive motor action (the hook the batched
         Pallas step also routes through — see HumanoidImEnv.step)."""
         obs = state.obs
+        if self.pnn.column_inputs:
+            # per-column input stats: pnn_obs_rms leaves are stacked
+            # [N, obs]; broadcasting the normalize gives each frozen column
+            # the exact normalizer it was trained under
+            obs = obs[..., None, :]
         if self.pnn_obs_rms is not None:
             obs = self.pnn_obs_rms.normalize(obs)
+        elif self.pnn.column_inputs:
+            obs = jnp.broadcast_to(
+                obs, obs.shape[:-2] + (self.pnn.num_primitives, obs.shape[-1])
+            )
         prims = self.pnn.apply({"params": self.pnn_params}, obs)
         w = jax.nn.softmax(weights, axis=-1)
         return jnp.clip(compose_actions(w, prims), -1.0, 1.0)

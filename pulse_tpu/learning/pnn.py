@@ -30,6 +30,13 @@ class PNN(nn.Module):
     units: Sequence[int] = (1024, 512)
     activation: str = "silu"
     has_lateral: bool = False
+    # column_inputs=True: x carries a per-column axis [..., N, obs] — used
+    # when separately-trained columns each keep their OWN input normalizer
+    # (stacked RunningMeanStd leaves broadcast the per-column normalize);
+    # the reference's PNN instead shares one running_mean_std across columns
+    # (phc/learning/pnn.py:60-66), which is only exact when every column was
+    # trained under the same stats.
+    column_inputs: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -38,7 +45,7 @@ class PNN(nn.Module):
         outs = []
         laterals = []  # per-layer activations of earlier columns
         for c in range(N):
-            h = x
+            h = x[..., c, :] if self.column_inputs else x
             acts_c = []
             for li, u in enumerate(self.units):
                 h = nn.Dense(u, name=f"col{c}_dense{li}")(h)

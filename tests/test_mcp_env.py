@@ -53,6 +53,59 @@ def test_mcp_action_dim_and_step():
     np.testing.assert_allclose(np.asarray(motor), np.asarray(want), atol=1e-6)
 
 
+def test_mcp_per_column_norm_matches_shared():
+    """column_inputs + stacked per-column RunningMeanStd == the shared-rms
+    path when every column's stats are identical (the per-column normalizer
+    is a strict generalization used by tools/curriculum.py's composer)."""
+    from pulse_tpu.learning.running_norm import RunningMeanStd
+
+    spec = load_smpl_humanoid()
+    model = build_model(spec, PhysicsConfig(substeps=1, control_freq_inv=1))
+    clips = make_synthetic_clips(spec.skeleton, num_clips=1, seconds=1.0)
+    motion = build_motion_data(spec.skeleton, clips)
+    probe = HumanoidImEnv(model, motion, EnvConfig())
+    rms = RunningMeanStd.create(probe.obs_dim).replace(
+        mean=jnp.linspace(-0.5, 0.5, probe.obs_dim),
+        var=jnp.linspace(0.5, 2.0, probe.obs_dim),
+    )
+    N = 3
+    key = jax.random.PRNGKey(0)
+    shared = PNN(action_dim=probe.action_dim, num_primitives=N, units=(32, 32))
+    params = shared.init(key, jnp.zeros((1, probe.obs_dim)))["params"]
+    percol = PNN(
+        action_dim=probe.action_dim, num_primitives=N, units=(32, 32),
+        column_inputs=True,
+    )
+    stacked = rms.replace(
+        mean=jnp.tile(rms.mean[None], (N, 1)), var=jnp.tile(rms.var[None], (N, 1))
+    ).freeze()
+
+    env_a = HumanoidImMCPEnv(
+        model, motion, EnvConfig(), pnn=shared, pnn_params=params,
+        obs_rms=rms.freeze(),
+    )
+    env_b = HumanoidImMCPEnv(
+        model, motion, EnvConfig(), pnn=percol, pnn_params=params,
+        obs_rms=stacked,
+    )
+    B = 4
+    states = env_a.reset(jax.random.split(jax.random.PRNGKey(1), B))
+    weights = jax.random.normal(jax.random.PRNGKey(2), (B, N))
+    a = jax.vmap(env_a.motor_actions_one)(states, weights)
+    b = jax.vmap(env_b.motor_actions_one)(states, weights)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # distinct per-column stats actually reach their columns: perturbing
+    # only column 0's mean changes the blend iff column 0 has weight
+    stacked2 = stacked.replace(mean=stacked.mean.at[0].add(1.0))
+    env_c = HumanoidImMCPEnv(
+        model, motion, EnvConfig(), pnn=percol, pnn_params=params,
+        obs_rms=stacked2,
+    )
+    c = jax.vmap(env_c.motor_actions_one)(states, weights)
+    assert not np.allclose(np.asarray(b), np.asarray(c))
+
+
 def test_mcp_with_config_roundtrip():
     import dataclasses as dc
 

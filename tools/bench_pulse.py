@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--horizon", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num_clips", type=int, default=8)
+    ap.add_argument("--minibatch", type=int, default=16384,
+                    help="reference default; lower only for CPU smokes")
     ap.add_argument("--prior_steps", type=int, default=300)
     ap.add_argument("--out", default="output/pulse_stages")
     args = ap.parse_args()
@@ -100,7 +102,7 @@ def main():
     agent = PPOAgent(
         env,
         PPOConfig(num_envs=args.envs, horizon_length=args.horizon,
-                  minibatch_size=16384, mini_epochs=6, learning_rate=2e-5),
+                  minibatch_size=args.minibatch, mini_epochs=6, learning_rate=2e-5),
         net,
     )
     snap = os.path.join(args.out, "teacher.pkl")
@@ -149,7 +151,7 @@ def main():
         env,
         teacher_policy,
         DistillConfig(num_envs=args.envs, horizon_length=args.horizon,
-                      minibatch_size=16384, mini_epochs=2,
+                      minibatch_size=args.minibatch, mini_epochs=2,
                       kld_anneal_start=args.distill_epochs // 2,
                       kld_anneal_end=args.distill_epochs),
         vae,
@@ -245,7 +247,7 @@ def main():
         z_agent = AMPAgent(
             task_env,
             PPOConfig(num_envs=args.envs, horizon_length=args.horizon,
-                      minibatch_size=16384, mini_epochs=6,
+                      minibatch_size=args.minibatch, mini_epochs=6,
                       learning_rate=2e-5),
             AMPConfig(task_reward_w=0.5, disc_reward_w=0.5),
             z_net,

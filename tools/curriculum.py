@@ -70,10 +70,19 @@ def main():
     ap.add_argument("--hard_epochs", type=int, default=1500, help="per hard column")
     ap.add_argument("--composer_epochs", type=int, default=1000)
     ap.add_argument("--max_columns", type=int, default=3)
+    ap.add_argument(
+        "--specialist_epochs", type=int, default=0,
+        help="if >0: after the shared columns, train ONE column per clip "
+        "that no column passes yet (one-hot PMCP mask, init from col0, "
+        "early-stop on first pass) — the many-column limit of the PHC "
+        "recipe, where each primitive ends up owning a skill",
+    )
     ap.add_argument("--envs", type=int, default=2048)
     ap.add_argument("--horizon", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--pallas", choices=["on", "off"], default="on")
+    ap.add_argument("--minibatch", type=int, default=16384,
+                    help="reference default; lower only for CPU smokes")
     ap.add_argument("--out", default="output/curriculum")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -109,7 +118,7 @@ def main():
         PPOConfig(
             num_envs=args.envs,
             horizon_length=args.horizon,
-            minibatch_size=16384,
+            minibatch_size=args.minibatch,
             mini_epochs=6,
             learning_rate=2e-5,
         ),
@@ -217,7 +226,10 @@ def main():
                     fh,
                 )
         col_actors.append(jax.device_get(ts.params))
-        col_rms.append(ts.obs_rms)
+        # host copy: train() donates its input train state, so keeping the
+        # LIVE obs_rms arrays here would leave deleted buffers once the next
+        # stage trains (caught by the CPU smoke of the specialist path)
+        col_rms.append(jax.device_get(ts.obs_rms))
         r = eval_policy(
             jax.tree.map(jnp.asarray, col_actors[-1]), col_rms[-1], f"col{col}"
         )
@@ -234,6 +246,73 @@ def main():
             break
 
     # ---------------------------------------------------------------- #
+    # specialist columns: one per clip that NO column passes yet
+    # (one-hot hard PMCP; init from the generalist col0 — it still has the
+    # base locomotion skills the later intersection columns traded away)
+    # ---------------------------------------------------------------- #
+    spec_names = []
+    if args.specialist_epochs > 0:
+        union_failed = np.logical_and.reduce(
+            [np.asarray(r.failed_motions) for r in col_evals]
+        )
+        for i in np.flatnonzero(union_failed):
+            name = names[i]
+            snap = os.path.join(args.out, f"spec_{name}.pkl")
+            mask = np.zeros(M, bool)
+            mask[i] = True
+            if os.path.exists(snap):
+                with open(snap, "rb") as fh:
+                    saved = pickle.load(fh)
+                ts = ts.replace(
+                    params=jax.tree.map(jnp.asarray, saved["params"]),
+                    obs_rms=ts.obs_rms.replace(
+                        mean=jnp.asarray(saved["rms_mean"]),
+                        var=jnp.asarray(saved["rms_var"]),
+                        count=jnp.asarray(saved["rms_count"]),
+                    ),
+                )
+                print(f"[spec_{name}] restored snapshot {snap}", flush=True)
+            else:
+                hard = update_hard_sampling_weight(
+                    env.motion, jnp.asarray(mask)
+                ).sampling_prob
+                # fresh device upload per specialist: the previous
+                # specialist's training donated the last upload's buffers
+                col0_params = jax.tree.map(jnp.asarray, col_actors[0])
+                col0_rms = jax.tree.map(jnp.asarray, col_rms[0])
+                ts = ts.replace(
+                    params=col0_params,
+                    obs_rms=col0_rms,
+                    motion_prob=jnp.array(hard),
+                    opt_state=agent.optimizer.init(col0_params),
+                    epoch=jnp.zeros((), jnp.int32),
+                )
+                ts = run_stage(
+                    ts, args.specialist_epochs, f"spec_{name}",
+                    hard_mask=mask, eval_every=500,
+                )
+                with open(snap, "wb") as fh:
+                    pickle.dump(
+                        {
+                            "params": jax.device_get(ts.params),
+                            "rms_mean": jax.device_get(ts.obs_rms.mean),
+                            "rms_var": jax.device_get(ts.obs_rms.var),
+                            "rms_count": jax.device_get(ts.obs_rms.count),
+                        },
+                        fh,
+                    )
+            col_actors.append(jax.device_get(ts.params))
+            # host copy — the next specialist's training donates these buffers
+            col_rms.append(jax.device_get(ts.obs_rms))
+            col_evals.append(
+                eval_policy(
+                    jax.tree.map(jnp.asarray, col_actors[-1]), col_rms[-1],
+                    f"spec_{name}",
+                )
+            )
+            spec_names.append(name)
+
+    # ---------------------------------------------------------------- #
     # composer stage: frozen PNN over the columns, policy = mix weights
     # ---------------------------------------------------------------- #
     from pulse_tpu.env.humanoid_im_mcp import HumanoidImMCPEnv
@@ -248,11 +327,18 @@ def main():
             units=actor_units,
             activation="silu",
             has_lateral=False,
+            column_inputs=True,
         )
         pnn_params = pnn_params_from_actors(col_actors, len(actor_units))
-        # all columns run under the LAST stage's input stats (columns share
-        # one normalizer in the reference's PNN forward)
-        frozen_rms = col_rms[-1].freeze()
+        # every frozen column keeps the input normalizer it was trained
+        # under: stacked [N, obs] RunningMeanStd leaves broadcast the
+        # per-column normalize (PNN.column_inputs). The reference shares
+        # ONE normalizer across columns, which is only exact when the
+        # columns trained under the same stats — ours train sequentially.
+        frozen_rms = col_rms[-1].replace(
+            mean=jnp.stack([r.mean for r in col_rms]),
+            var=jnp.stack([r.var for r in col_rms]),
+        ).freeze()
         mcp_env = HumanoidImMCPEnv(
             model, motion, env.config, pnn=pnn, pnn_params=pnn_params,
             obs_rms=frozen_rms,
@@ -265,7 +351,7 @@ def main():
             PPOConfig(
                 num_envs=args.envs,
                 horizon_length=args.horizon,
-                minibatch_size=16384,
+                minibatch_size=args.minibatch,
                 mini_epochs=6,
                 learning_rate=2e-5,
             ),
@@ -273,7 +359,9 @@ def main():
         )
         comp_train = jax.jit(comp_agent.train_epoch, donate_argnums=0)
         cts = comp_agent.init(jax.random.PRNGKey(args.seed + 1))
-        snap = os.path.join(args.out, "composer.pkl")
+        # keyed by column count: a rerun that adds specialist columns must
+        # train a fresh composer, not restore the narrower one
+        snap = os.path.join(args.out, f"composer{n_cols}.pkl")
         if os.path.exists(snap):
             with open(snap, "rb") as fh:
                 saved = pickle.load(fh)
@@ -353,6 +441,7 @@ def main():
             "hard": args.hard_epochs,
             "composer": args.composer_epochs,
         },
+        "specialists": spec_names,
         "columns": [result_json(r) for r in col_evals],
         "composer": None if composer_result is None else result_json(composer_result),
         # the suite score: the best single final artifact (composed policy
