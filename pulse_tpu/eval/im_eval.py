@@ -38,6 +38,10 @@ class EvalResult:
     # (tools/bench_quality.py); same accumulators as the aggregate
     per_motion_mpjpe_g: np.ndarray | None = None  # [M]
     per_motion_mpjpe_l: np.ndarray | None = None  # [M]
+    # scored (pre-reset, in-clip) steps per motion — pins the boundary
+    # semantics: a clip of exactly N control steps scores N-1 comparisons
+    # because the env's auto-reset consumes the final one
+    per_motion_steps: np.ndarray | None = None  # [M]
 
 
 def _procrustes_err_jnp(pred: jax.Array, gt: jax.Array) -> jax.Array:
@@ -119,7 +123,15 @@ def im_eval(
             # auto-reset; pass the env with early termination disabled)
             t = (i.astype(jnp.float32) + 1.0) * dt
             t_b = jnp.broadcast_to(t, (B,))
-            active = t_b <= lengths  # still within the clip
+            # STRICT inequality: the env auto-resets (RSI) on the step where
+            # its post-step clock reaches the clip length (humanoid_im.py
+            # pass_time `t >= length`), and the env clock is bit-identical to
+            # this one (start_time 0 + progress*control_dt). Scoring that
+            # post-reset state charged the policy a phantom drift equal to
+            # the clip's total travel — crouch_walk sat at 63 mm mean with a
+            # single 2.7 m "spike" at the last step (tools/drift_profile.py)
+            # and failed the 0.5 m criterion on it.
+            active = t_b < lengths  # still within the clip, pre-reset
             ref = get_motion_state(motion, motion_ids, t_b)
 
             body_pos = state.physics.body_pos
@@ -183,6 +195,7 @@ def im_eval(
     failed_all = np.zeros(M, bool)
     per_g = np.zeros(M)
     per_l = np.zeros(M)
+    per_n = np.zeros(M)
     g_sum = l_sum = pa_sum = vel_sum = acc_sum = n_sum = 0.0
     key = jax.random.PRNGKey(0)
     for start in range(0, M, batch_size):
@@ -200,7 +213,8 @@ def im_eval(
         failed, sums = eval_batch_j(ids_dev, k)
         failed = np.asarray(failed)[: len(ids)]
         failed_all[ids] = failed
-        n_b = np.maximum(np.asarray(sums["n"][: len(ids)]), 1.0)
+        per_n[ids] = np.asarray(sums["n"][: len(ids)])
+        n_b = np.maximum(per_n[ids], 1.0)
         per_g[ids] = 1000.0 * np.asarray(sums["g"][: len(ids)]) / n_b
         per_l[ids] = 1000.0 * np.asarray(sums["l"][: len(ids)]) / n_b
         g_sum += float(jnp.sum(sums["g"][: len(ids)]))
@@ -221,4 +235,5 @@ def im_eval(
         failed_motions=failed_all,
         per_motion_mpjpe_g=per_g,
         per_motion_mpjpe_l=per_l,
+        per_motion_steps=per_n,
     )

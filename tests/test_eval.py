@@ -39,6 +39,32 @@ class TestImEval:
         # second within 0.5 m mean distance
         assert result.mpjpe_g > 10.0  # mm
 
+    def test_boundary_step_not_scored(self, env):
+        """The step whose post-step clock t == clip length is the step the
+        env auto-resets on (pass_time is `t >= length`, humanoid_im.py);
+        im_eval must not score that post-reset state. Regression for the
+        phantom final-step drift (~= the clip's total travel) that failed
+        translating clips whose mean error was 60-170 mm: the scored-step
+        count per clip must equal #{i : (i+1)*dt < length} computed with the
+        same float32 arithmetic as the env clock, never one more."""
+
+        def policy_fn(obs):
+            return jnp.zeros((obs.shape[0], env.action_dim))
+
+        result = im_eval(env, policy_fn, batch_size=2, collect_pa=False)
+        dt = np.float32(env.model.config.control_dt)
+        lengths = np.asarray(env.motion.motion_lengths, np.float32)
+        max_steps = int(np.ceil(float(lengths.max()) / dt))
+        steps = (np.float32(np.arange(1, max_steps + 1)) * dt)[None, :]
+        expected = (steps < lengths[:, None]).sum(axis=1)
+        np.testing.assert_array_equal(result.per_motion_steps, expected)
+        # the boundary case actually occurs in this fixture (t == length
+        # exactly for some step) — otherwise this test pins nothing
+        assert any(
+            np.any(np.float32(np.arange(1, max_steps + 1)) * dt == l)
+            for l in lengths
+        )
+
     def test_track_bodies_subset_env(self):
         spec = load_smpl_humanoid()
         model = build_model(spec, PhysicsConfig())
