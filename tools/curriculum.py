@@ -359,9 +359,30 @@ def main():
         )
         comp_train = jax.jit(comp_agent.train_epoch, donate_argnums=0)
         cts = comp_agent.init(jax.random.PRNGKey(args.seed + 1))
+        mcp_eval_env = mcp_env.with_config(
+            dc.replace(mcp_env.config, enable_early_termination=False)
+        )
+        # what the composer can possibly reach: clips some column passes
+        passable = ~np.logical_and.reduce(
+            [np.asarray(r.failed_motions) for r in col_evals]
+        )
+
+        def eval_composer(params, obs_rms, tag):
+            def pol(obs):
+                mu, _, _ = comp_net.apply(
+                    {"params": params}, obs_rms.normalize(obs)
+                )
+                return jnp.clip(mu, -1.0, 1.0)
+
+            r = im_eval(mcp_eval_env, pol, batch_size=M)
+            print(f"[{tag}] success {int(M - r.failed_motions.sum())}/{M} "
+                  f"pa={r.mpjpe_pa:.1f}mm", flush=True)
+            return r
+
         # keyed by column count: a rerun that adds specialist columns must
-        # train a fresh composer, not restore the narrower one
-        snap = os.path.join(args.out, f"composer{n_cols}.pkl")
+        # train a fresh composer, not restore the narrower one. v2: trained
+        # with composer-stage PMCP (see loop below)
+        snap = os.path.join(args.out, f"composer{n_cols}v2.pkl")
         if os.path.exists(snap):
             with open(snap, "rb") as fh:
                 saved = pickle.load(fh)
@@ -383,6 +404,28 @@ def main():
                     fps = steps_per_epoch * (epoch + 1) / (time.time() - t0)
                     print(f"[composer] epoch={epoch} reward={r:.4f} "
                           f"fps={fps:,.0f}", flush=True)
+                # composer-stage PMCP: mid-training eval -> concentrate
+                # composer training on clips where the BLEND still fails a
+                # clip some column can solve (same device-write feedback as
+                # the column stages; the composer's job is exactly the
+                # column-union, so it should spend its budget there)
+                if epoch > 0 and epoch % 250 == 0:
+                    r_mid = eval_composer(
+                        cts.params, cts.obs_rms, f"composer@{epoch}"
+                    )
+                    gap = np.asarray(r_mid.failed_motions) & passable
+                    if not gap.any():
+                        print(f"[composer] reaches the column union at "
+                              f"epoch {epoch} — early stop", flush=True)
+                        break
+                    hard = update_hard_sampling_weight(
+                        env.motion, jnp.asarray(gap)
+                    ).sampling_prob
+                    # 50/50 hard/uniform: unlike a column, the composer must
+                    # keep ALL clips working while it closes the gap
+                    cts = cts.replace(
+                        motion_prob=0.5 * jnp.array(hard) + 0.5 / M
+                    )
             jax.block_until_ready(jax.tree.leaves(cts)[0])
             with open(snap, "wb") as fh:
                 pickle.dump(
@@ -395,23 +438,7 @@ def main():
                     fh,
                 )
 
-        mcp_eval_env = mcp_env.with_config(
-            dc.replace(mcp_env.config, enable_early_termination=False)
-        )
-        comp_params, comp_rms = cts.params, cts.obs_rms
-
-        def comp_policy(obs):
-            mu, _, _ = comp_net.apply(
-                {"params": comp_params}, comp_rms.normalize(obs)
-            )
-            return jnp.clip(mu, -1.0, 1.0)
-
-        composer_result = im_eval(mcp_eval_env, comp_policy, batch_size=M)
-        print(
-            f"[composer] success "
-            f"{int(M - composer_result.failed_motions.sum())}/{M} "
-            f"pa={composer_result.mpjpe_pa:.1f}mm", flush=True
-        )
+        composer_result = eval_composer(cts.params, cts.obs_rms, "composer")
 
     # ---------------------------------------------------------------- #
     # report
