@@ -37,27 +37,43 @@ import jax.numpy as jnp
 
 
 def _trace_device_ms(logdir: str) -> float:
-    """Total XLA device-op time (ms) in the newest trace under logdir
-    (same parse as tools/profile_step.py)."""
+    """Device-busy time (ms) in the newest trace under logdir: the sum of
+    the device process's "XLA Modules" events (one per executed program).
+    Module durations are wall-exclusive on the device, so device <= wall
+    holds by construction. (The per-op "XLA Ops" line OVERLAPS — ops run
+    concurrently with DMA and each other — so summing it double-counts:
+    that bug made BENCH_r04 report device 3.02 ms/step > wall 1.98.)"""
     paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
     if not paths:
         return float("nan")
     path = max(paths, key=os.path.getmtime)
     with gzip.open(path, "rt") as fh:
         trace = json.load(fh)
-    total = 0.0
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X":
+    events = trace.get("traceEvents", [])
+    device_pids = set()
+    module_tids = {}  # pid -> tid of the "XLA Modules" line
+    for ev in events:
+        if ev.get("ph") != "M":
             continue
-        name = ev.get("name", "")
-        args = ev.get("args", {})
-        if "long_name" in args or "tf_op" in args or name.startswith(
-            ("fusion", "copy", "dynamic", "scatter", "gather", "dot",
-             "transpose", "reduce", "convert", "broadcast", "select",
-             "while", "custom", "all-")
+        if ev.get("name") == "process_name" and ev["args"].get(
+            "name", ""
+        ).startswith("/device:"):
+            device_pids.add(ev["pid"])
+        elif ev.get("name") == "thread_name" and ev["args"].get(
+            "name"
+        ) == "XLA Modules":
+            module_tids[ev["pid"]] = ev.get("tid")
+    total = 0.0
+    found = False
+    for ev in events:
+        if (
+            ev.get("ph") == "X"
+            and ev.get("pid") in device_pids
+            and ev.get("tid") == module_tids.get(ev.get("pid"))
         ):
             total += ev.get("dur", 0) / 1e3
-    return total
+            found = True
+    return total if found else float("nan")
 
 
 def _stats(rates: list) -> dict:

@@ -472,8 +472,12 @@ def main():
         "columns": [result_json(r) for r in col_evals],
         "composer": None if composer_result is None else result_json(composer_result),
         # the suite score: the best single final artifact (composed policy
-        # when trained, else the last column)
-        "final": result_json(composer_result or col_evals[-1]),
+        # when trained, else the best column — NOT the last entry, which
+        # with specialists on is a one-clip column that forgets the rest)
+        "final": result_json(
+            composer_result
+            or min(col_evals, key=lambda r: (r.failed_motions.sum(), r.mpjpe_pa))
+        ),
         # union coverage across columns — what the composer has to reach
         "column_union_success": int(
             M - np.logical_and.reduce([r.failed_motions for r in col_evals]).sum()

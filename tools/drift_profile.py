@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--clips", nargs="*", default=None)
     ap.add_argument("--bins", type=int, default=24,
                     help="time bins for the printed profile")
+    ap.add_argument(
+        "--pallas", choices=["on", "off"],
+        default="off" if os.environ.get("PULSE_PLATFORM") == "cpu" else "on",
+        help="Pallas physics path (interpret-mode on CPU costs minutes per "
+        "kernel call, so default off under PULSE_PLATFORM=cpu)")
     args = ap.parse_args()
 
     import dataclasses as dc
@@ -57,7 +62,8 @@ def main():
     motion = build_motion_data(spec.skeleton, clips)
     env = HumanoidImEnv(
         model, motion,
-        EnvConfig(enable_early_termination=False),
+        EnvConfig(enable_early_termination=False,
+                  use_pallas_physics=(args.pallas == "on")),
     )
     M = motion.num_motions
 
@@ -108,15 +114,21 @@ def main():
     )
     for i in sel:
         T = int(np.ceil(float(motion.motion_lengths[i]) / dt))
-        d = drifts[:T, i]
+        # score only pre-reset steps, matching im_eval: step i's post-step
+        # clock is (i+1)*dt, and the env auto-resets (RSI) once it reaches
+        # the clip length — that state is a fresh reset, not policy drift
+        length = float(motion.motion_lengths[i])
+        n_active = int(np.sum((np.arange(T) + 1.0) * float(dt) < length))
+        d = drifts[:max(n_active, 1), i]
         peak_t = int(np.argmax(d))
+        Ta = len(d)
         print(
-            f"{names[i]}: peak {d.max():.3f} m @ step {peak_t}/{T} "
-            f"({peak_t / T * 100:.0f}%), mean {d.mean():.3f} m, "
+            f"{names[i]}: peak {d.max():.3f} m @ step {peak_t}/{Ta} "
+            f"({peak_t / Ta * 100:.0f}%), mean {d.mean():.3f} m, "
             f"frac>0.5m {np.mean(d > 0.5):.2f}"
         )
         B = args.bins
-        edges = np.linspace(0, T, B + 1).astype(int)
+        edges = np.linspace(0, Ta, B + 1).astype(int)
         prof = [d[a:b].max() if b > a else 0.0 for a, b in zip(edges, edges[1:])]
         bar = "".join(
             "#" if p > 0.5 else ("+" if p > 0.25 else ".") for p in prof
