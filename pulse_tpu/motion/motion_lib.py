@@ -116,29 +116,54 @@ def build_motion_data(
     """Build the flat device store from per-clip kinematic data.
 
     Each clip dict: {"fps": float, "local_rotation": [T, J, 4] xyzw,
-    "root_translation": [T, 3]}. FK + velocity computation run here once
-    (host/accelerator, jitted per unique T) — the analogue of the reference's
-    multiprocess per-clip load (motion_lib_base.py:179-323), which a single
-    vectorized trace replaces.
+    "root_translation": [T, 3]}. FK + velocity computation run batched —
+    clips are grouped by (T, fps) and each group runs as ONE jitted+vmapped
+    device program (chunked to bound memory) — the analogue of the
+    reference's multiprocess per-clip load (motion_lib_base.py:179-323).
+    Per-clip eager dispatch does not scale: a 10k-clip AMASS-size store
+    would mean ~1e6 device round-trips through the TPU tunnel.
     """
     if random_heading_seed is not None:
         rng = np.random.default_rng(random_heading_seed)
         clips = [
             randomize_clip_heading(c, rng.uniform(-np.pi, np.pi)) for c in clips
         ]
-    gts_l, grs_l, gvs_l, gavs_l, lrs_l, dvs_l = [], [], [], [], [], []
-    lengths, nframes, fps_l = [], [], []
-    for clip in clips:
-        fps = float(clip["fps"])
-        lr = jnp.asarray(clip["local_rotation"], jnp.float32)
-        rt = jnp.asarray(clip["root_translation"], jnp.float32)
+
+    def clip_tensors(lr, rt, fps):
         g_rot, g_pos = forward_kinematics(tree, lr, rt)
         gvs = compute_linear_velocity(g_pos, fps)
         gavs = compute_angular_velocity(g_rot, fps)
         dvs = _compute_dof_vels(lr[:, 1:], fps).reshape(lr.shape[0], -1)
-        T = lr.shape[0]
-        gts_l.append(g_pos); grs_l.append(g_rot); gvs_l.append(gvs)
-        gavs_l.append(gavs); lrs_l.append(lr); dvs_l.append(dvs)
+        return g_pos, g_rot, gvs, gavs, dvs
+
+    groups: dict[tuple[int, float], list[int]] = {}
+    for i, clip in enumerate(clips):
+        T = int(np.asarray(clip["local_rotation"]).shape[0])
+        groups.setdefault((T, float(clip["fps"])), []).append(i)
+
+    M = len(clips)
+    per_clip: list[tuple | None] = [None] * M
+    for (T, fps), idx in groups.items():
+        batched = jax.jit(jax.vmap(lambda lr, rt: clip_tensors(lr, rt, fps)))
+        # chunk so one dispatch stays a few hundred MB of intermediates
+        chunk = max(1, (1 << 24) // max(T * tree.num_joints, 1))
+        for lo in range(0, len(idx), chunk):
+            ids = idx[lo : lo + chunk]
+            lr = np.stack(
+                [np.asarray(clips[i]["local_rotation"], np.float32) for i in ids]
+            )
+            rt = np.stack(
+                [np.asarray(clips[i]["root_translation"], np.float32) for i in ids]
+            )
+            out = jax.device_get(batched(jnp.asarray(lr), jnp.asarray(rt)))
+            for k, i in enumerate(ids):
+                per_clip[i] = tuple(a[k] for a in out) + (lr[k],)
+
+    gts_l, grs_l, gvs_l, gavs_l, dvs_l, lrs_l = map(list, zip(*per_clip))
+    lengths, nframes, fps_l = [], [], []
+    for clip in clips:
+        T = int(np.asarray(clip["local_rotation"]).shape[0])
+        fps = float(clip["fps"])
         nframes.append(T); fps_l.append(fps); lengths.append((T - 1) / fps)
 
     nframes = np.asarray(nframes, np.int32)
@@ -164,12 +189,14 @@ def build_motion_data(
     return MotionData(
         shape_params=jnp.asarray(shape_rows),
         limb_weights=jnp.asarray(limb_rows),
-        gts=jnp.concatenate(gts_l),
-        grs=jnp.concatenate(grs_l),
-        gvs=jnp.concatenate(gvs_l),
-        gavs=jnp.concatenate(gavs_l),
-        lrs=jnp.concatenate(lrs_l),
-        dvs=jnp.concatenate(dvs_l),
+        # host-side concatenation + one upload per field: a device-side
+        # concatenate over thousands of per-clip arrays is itself a huge trace
+        gts=jnp.asarray(np.concatenate(gts_l)),
+        grs=jnp.asarray(np.concatenate(grs_l)),
+        gvs=jnp.asarray(np.concatenate(gvs_l)),
+        gavs=jnp.asarray(np.concatenate(gavs_l)),
+        lrs=jnp.asarray(np.concatenate(lrs_l)),
+        dvs=jnp.asarray(np.concatenate(dvs_l)),
         length_starts=jnp.asarray(starts),
         motion_lengths=jnp.asarray(lengths, jnp.float32),
         motion_num_frames=jnp.asarray(nframes),

@@ -104,3 +104,42 @@ class TestSampling:
         tree, clips, data = small_lib()
         d2 = update_soft_sampling_weight(data, jnp.asarray([1.0, 3.0, 0.0]))
         np.testing.assert_allclose(d2.sampling_prob, [0.25, 0.75, 0.0], atol=1e-6)
+
+
+class TestBatchedBuildGrouping:
+    """The grouped (T, fps) batched build must preserve clip order exactly.
+
+    Clips with mixed lengths and frame rates land in different vmap groups
+    and are stitched back by index; a scramble here would silently corrupt
+    every downstream gather (reference analogue: the per-clip multiprocess
+    load order, motion_lib_base.py:179-323)."""
+
+    def test_heterogeneous_clips_match_single_builds(self):
+        tree = load_smpl_humanoid().skeleton
+        a = make_synthetic_clips(tree, num_clips=2, seconds=1.0, fps=30.0, seed=0)
+        b = make_synthetic_clips(tree, num_clips=1, seconds=1.5, fps=30.0, seed=1)
+        c = make_synthetic_clips(tree, num_clips=2, seconds=1.0, fps=15.0, seed=2)
+        # interleave so group ids are non-contiguous: [a0, c0, b0, a1, c1]
+        clips = [a[0], c[0], b[0], a[1], c[1]]
+        data = build_motion_data(tree, clips)
+        F = sum(cl["local_rotation"].shape[0] for cl in clips)
+        assert data.gts.shape[0] == F
+        starts = np.asarray(data.length_starts)
+        nframes = np.asarray(data.motion_num_frames)
+        np.testing.assert_array_equal(
+            nframes, [cl["local_rotation"].shape[0] for cl in clips]
+        )
+        np.testing.assert_array_equal(starts, np.cumsum([0, *nframes[:-1]]))
+        for i, cl in enumerate(clips):
+            single = build_motion_data(tree, [cl])
+            sl = slice(int(starts[i]), int(starts[i]) + int(nframes[i]))
+            for field in ("gts", "grs", "gvs", "gavs", "lrs", "dvs"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(data, field)[sl]),
+                    np.asarray(getattr(single, field)),
+                    atol=5e-3, rtol=1e-4,
+                    err_msg=f"clip {i} field {field} scrambled by grouping",
+                )
+            np.testing.assert_allclose(
+                float(data.motion_lengths[i]), float(single.motion_lengths[0])
+            )

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
     ap.add_argument("--horizon", type=int, default=32)
+    ap.add_argument(
+        "--suite", choices=["hard", "graded"], default="hard",
+        help="hard: 6-clip v2 stress set; graded: 30-clip family benchmark",
+    )
     args = ap.parse_args()
 
     from pulse_tpu.assets import load_smpl_humanoid
@@ -50,7 +54,15 @@ def main():
 
     spec = load_smpl_humanoid()
     model = build_model(spec, PhysicsConfig())
-    clips, names = make_hard_clips(spec.skeleton)
+    if args.suite == "graded":
+        from pulse_tpu.motion.synthetic import make_graded_suite
+
+        clips, names, families = make_graded_suite(spec.skeleton)
+        suite_label = "graded_v1"
+    else:
+        clips, names = make_hard_clips(spec.skeleton)
+        families = None
+        suite_label = "hard_synthetic_v2"
     motion = build_motion_data(spec.skeleton, clips)
 
     env = HumanoidImEnv(
@@ -98,7 +110,7 @@ def main():
     result = im_eval(eval_env, policy_fn, batch_size=len(names))
 
     out = {
-        "suite": "hard_synthetic_v2",
+        "suite": suite_label,
         "pallas": args.pallas,
         "epochs": args.epochs,
         "envs": args.envs,
@@ -119,6 +131,16 @@ def main():
             for i, n in enumerate(names)
         },
     }
+    if families is not None:
+        out["per_family"] = {
+            fam: {
+                "passed": int(sum(~result.failed_motions[i] for i in idx)),
+                "levels": {
+                    names[i]: bool(~result.failed_motions[i]) for i in idx
+                },
+            }
+            for fam, idx in families.items()
+        }
     print(json.dumps(out, indent=2))
     if args.out:
         with open(args.out, "w") as fh:

@@ -49,6 +49,7 @@ def measure(env, num_envs, steps=64, repeats=5):
 def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 3072))
     steps = int(os.environ.get("BENCH_STEPS", 64))
+    out_path = os.environ.get("BENCH_OUT", "")
 
     from pulse_tpu.assets import load_smpl_humanoid
     from pulse_tpu.env import EnvConfig, HumanoidImEnv
@@ -62,6 +63,7 @@ def main():
 
     homo = HumanoidImEnv(model, motion, EnvConfig())
     r_homo = measure(homo, num_envs, steps)
+    print(f"[bench_shape] homogeneous kernel: {r_homo:,.0f} steps/s", flush=True)
 
     # shape-varied env: per-env scaled models + shape obs channels
     # (the env=im_shape training posture)
@@ -73,6 +75,7 @@ def main():
     varied.enable_shape_variation(jax.random.PRNGKey(7), num_envs)
     assert varied.batched_model is not None
     r_varied = measure(varied, num_envs, steps)
+    print(f"[bench_shape] shape-varied kernel: {r_varied:,.0f} steps/s", flush=True)
 
     # the old fallback for comparison: same varied env forced off the kernel
     import dataclasses as dc
@@ -82,14 +85,18 @@ def main():
     )
     r_xla = measure(xla, num_envs, steps)
 
-    print(json.dumps({
+    report = {
         "metric": f"shape-varied env steps/s @ {num_envs}",
         "homogeneous_kernel": round(r_homo, 1),
         "shape_varied_kernel": round(r_varied, 1),
         "shape_varied_xla_fallback": round(r_xla, 1),
         "varied_over_homogeneous": round(r_varied / r_homo, 4),
         "kernel_over_fallback": round(r_varied / r_xla, 2),
-    }))
+    }
+    print(json.dumps(report))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(report, fh, indent=2)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,39 @@ def main():
     ap.add_argument("--pallas", choices=["on", "off"], default="on")
     ap.add_argument("--minibatch", type=int, default=16384,
                     help="reference default; lower only for CPU smokes")
+    ap.add_argument(
+        "--suite", choices=["hard", "graded"], default="hard",
+        help="hard: the 6-clip v2 stress set; graded: the 30-clip family "
+        "benchmark (6 families x 5 difficulty levels, make_graded_suite) — "
+        "PMCP at an M where categorical reweighting matters",
+    )
+    ap.add_argument(
+        "--max_specialists", type=int, default=8,
+        help="cap on one-hot specialist columns (graded mode can have many "
+        "union-failed clips)",
+    )
+    ap.add_argument(
+        "--sharp_curriculum", action="store_true",
+        help="train the sharp_turns specialist on the graded turn ladder "
+        "(blend 0.8s -> 0.25s) with level-advancing PMCP instead of "
+        "one-hot on the hardest clip directly — the round-4 one-hot "
+        "specialist plateaued at 1.0-1.5 m drift (hard suite only)",
+    )
+    ap.add_argument(
+        "--amp_getup_epochs", type=int, default=0,
+        help="if >0: a getup/AMP column stage — AMPAgent in the "
+        "HumanoidImGetupEnv fall-state curriculum with the reference's "
+        "reward-weight schedule (style-only until epochs/3, then 50/50; "
+        "amp_agent.py:557-579 semantics)",
+    )
+    ap.add_argument(
+        "--composer_env", choices=["getup", "im"], default="getup",
+        help="composer training env. getup: HumanoidImMCPGetupEnv, so "
+        "fall/recovery states are in the composer's training distribution "
+        "(the round-4 composer ignored its getup column: 657 mm where the "
+        "specialist got 103; ≙ humanoid_im_mcp_getup.py) — eval is always "
+        "on the plain im MCP env for comparable scores",
+    )
     ap.add_argument("--out", default="output/curriculum")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -96,12 +129,18 @@ def main():
     from pulse_tpu.learning.ppo import PPOAgent, PPOConfig
     from pulse_tpu.motion import build_motion_data
     from pulse_tpu.motion.motion_lib import update_hard_sampling_weight
-    from pulse_tpu.motion.synthetic import make_hard_clips
+    from pulse_tpu.motion.synthetic import make_graded_suite, make_hard_clips
     from pulse_tpu.physics import PhysicsConfig, build_model
 
     spec = load_smpl_humanoid()
     model = build_model(spec, PhysicsConfig())
-    clips, names = make_hard_clips(spec.skeleton)
+    if args.suite == "graded":
+        clips, names, families = make_graded_suite(spec.skeleton)
+        suite_label = "graded_v1"
+    else:
+        clips, names = make_hard_clips(spec.skeleton)
+        families = None
+        suite_label = "hard_synthetic_v2"
     motion = build_motion_data(spec.skeleton, clips)
     M = len(names)
 
@@ -250,14 +289,107 @@ def main():
     # (one-hot hard PMCP; init from the generalist col0 — it still has the
     # base locomotion skills the later intersection columns traded away)
     # ---------------------------------------------------------------- #
+    def save_snap(path, ts_params, ts_rms):
+        with open(path, "wb") as fh:
+            pickle.dump(
+                {
+                    "params": jax.device_get(ts_params),
+                    "rms_mean": jax.device_get(ts_rms.mean),
+                    "rms_var": jax.device_get(ts_rms.var),
+                    "rms_count": jax.device_get(ts_rms.count),
+                },
+                fh,
+            )
+
+    def train_sharp_ladder(ts):
+        """Sharp-turn curriculum: train on the graded turn ladder (heading
+        blend 0.8 s -> 0.25 s at fixed 1.6 m/s; the hardest level is
+        bit-identical to v2 sharp_turns) with level-advancing sampling —
+        60% of resets on the current level, 40% spread over the levels
+        already passed. Advance when the current level's im_eval passes;
+        stop when the hardest passes. ≙ the reference's answer to
+        hard-clip plateaus: progressive exposure (getup schedule,
+        humanoid_im_getup.py:67-74) + PMCP concentration, here along an
+        explicit difficulty axis the synthetic generator controls."""
+        t_clips, t_names, t_fams = make_graded_suite(spec.skeleton)
+        ladder_ids = t_fams["turn"]
+        ladder = build_motion_data(
+            spec.skeleton, [t_clips[j] for j in ladder_ids]
+        )
+        L = ladder.num_motions
+        env_t = HumanoidImEnv(model, ladder, env.config)
+        eval_env_t = env_t.with_config(
+            dc.replace(env_t.config, enable_early_termination=False)
+        )
+        agent_t = PPOAgent(env_t, agent.config, net)
+        train_t = jax.jit(agent_t.train_epoch, donate_argnums=0)
+        tts = agent_t.init(jax.random.PRNGKey(args.seed + 5))
+        tts = tts.replace(
+            params=ts.params, obs_rms=ts.obs_rms,
+            opt_state=agent.optimizer.init(ts.params),
+        )
+
+        def ladder_prob(level):
+            p = np.full(L, 1e-6)
+            p[: level + 1] = 0.4 / (level + 1)
+            p[level] += 0.6
+            return jnp.asarray(p / p.sum())
+
+        def ladder_eval(params, obs_rms, tag):
+            def pol(obs):
+                mu, _, _ = net.apply({"params": params}, obs_rms.normalize(obs))
+                return jnp.clip(mu, -1.0, 1.0)
+
+            r = im_eval(eval_env_t, pol, batch_size=L)
+            stat = " ".join(
+                f"{t_names[ladder_ids[j]]}:"
+                + ("ok" if not r.failed_motions[j] else "FAIL")
+                for j in range(L)
+            )
+            print(f"[{tag}] {stat}", flush=True)
+            return r
+
+        level = 0
+        tts = tts.replace(motion_prob=ladder_prob(level))
+        t0 = time.time()
+        eval_every = 300
+        for epoch in range(args.specialist_epochs):
+            tts, metrics = train_t(tts)
+            if epoch % 100 == 0:
+                print(f"[spec_sharp_ladder] epoch={epoch} level={level} "
+                      f"reward={float(metrics['reward_mean']):.4f} "
+                      f"fps={steps_per_epoch*(epoch+1)/(time.time()-t0):,.0f}",
+                      flush=True)
+            if epoch > 0 and epoch % eval_every == 0:
+                r_mid = ladder_eval(
+                    tts.params, tts.obs_rms, f"spec_sharp_ladder@{epoch}"
+                )
+                passed = ~np.asarray(r_mid.failed_motions)
+                if passed[L - 1]:
+                    print(f"[spec_sharp_ladder] hardest level passes at "
+                          f"epoch {epoch} — early stop", flush=True)
+                    break
+                # advance to the hardest contiguous level reached; never
+                # retreat (a transient regression on an easy level should
+                # not reset the ladder)
+                while level < L - 1 and passed[level]:
+                    level += 1
+                tts = tts.replace(motion_prob=ladder_prob(level))
+        jax.block_until_ready(jax.tree.leaves(tts)[0])
+        ladder_eval(tts.params, tts.obs_rms, "spec_sharp_ladder/final")
+        return tts
+
     spec_names = []
     if args.specialist_epochs > 0:
         union_failed = np.logical_and.reduce(
             [np.asarray(r.failed_motions) for r in col_evals]
         )
-        for i in np.flatnonzero(union_failed):
+        for i in np.flatnonzero(union_failed)[: args.max_specialists]:
             name = names[i]
-            snap = os.path.join(args.out, f"spec_{name}.pkl")
+            use_ladder = args.sharp_curriculum and name == "sharp_turns"
+            snap = os.path.join(
+                args.out, f"spec_{name}{'_ladder' if use_ladder else ''}.pkl"
+            )
             mask = np.zeros(M, bool)
             mask[i] = True
             if os.path.exists(snap):
@@ -273,9 +405,6 @@ def main():
                 )
                 print(f"[spec_{name}] restored snapshot {snap}", flush=True)
             else:
-                hard = update_hard_sampling_weight(
-                    env.motion, jnp.asarray(mask)
-                ).sampling_prob
                 # fresh device upload per specialist: the previous
                 # specialist's training donated the last upload's buffers
                 col0_params = jax.tree.map(jnp.asarray, col_actors[0])
@@ -283,24 +412,22 @@ def main():
                 ts = ts.replace(
                     params=col0_params,
                     obs_rms=col0_rms,
-                    motion_prob=jnp.array(hard),
                     opt_state=agent.optimizer.init(col0_params),
                     epoch=jnp.zeros((), jnp.int32),
                 )
-                ts = run_stage(
-                    ts, args.specialist_epochs, f"spec_{name}",
-                    hard_mask=mask, eval_every=500,
-                )
-                with open(snap, "wb") as fh:
-                    pickle.dump(
-                        {
-                            "params": jax.device_get(ts.params),
-                            "rms_mean": jax.device_get(ts.obs_rms.mean),
-                            "rms_var": jax.device_get(ts.obs_rms.var),
-                            "rms_count": jax.device_get(ts.obs_rms.count),
-                        },
-                        fh,
+                if use_ladder:
+                    tts = train_sharp_ladder(ts)
+                    ts = ts.replace(params=tts.params, obs_rms=tts.obs_rms)
+                else:
+                    hard = update_hard_sampling_weight(
+                        env.motion, jnp.asarray(mask)
+                    ).sampling_prob
+                    ts = ts.replace(motion_prob=jnp.array(hard))
+                    ts = run_stage(
+                        ts, args.specialist_epochs, f"spec_{name}",
+                        hard_mask=mask, eval_every=500,
                     )
+                save_snap(snap, ts.params, ts.obs_rms)
             col_actors.append(jax.device_get(ts.params))
             # host copy — the next specialist's training donates these buffers
             col_rms.append(jax.device_get(ts.obs_rms))
@@ -313,9 +440,85 @@ def main():
             spec_names.append(name)
 
     # ---------------------------------------------------------------- #
+    # getup/AMP column stage: AMPAgent in the fall-state curriculum env
+    # (≙ the reference's PULSE-training combo: im_getup fall-state
+    # harvesting + AMP style reward with the getup reward-weight schedule,
+    # humanoid_im_getup.py:82-210 + amp_agent.py:557-579)
+    # ---------------------------------------------------------------- #
+    from pulse_tpu.env.humanoid_im_getup import GetupConfig, HumanoidImGetupEnv
+    from pulse_tpu.learning.amp import AMPConfig
+    from pulse_tpu.learning.amp_agent import AMPAgent
+
+    amp_getup_eval = None
+    if args.amp_getup_epochs > 0:
+        getup_cfg = GetupConfig(**dc.asdict(env.config))
+        snap = os.path.join(args.out, "amp_getup.pkl")
+        if os.path.exists(snap):
+            with open(snap, "rb") as fh:
+                saved = pickle.load(fh)
+            a_params = jax.tree.map(jnp.asarray, saved["params"])
+            a_rms = ts.obs_rms.replace(
+                mean=jnp.asarray(saved["rms_mean"]),
+                var=jnp.asarray(saved["rms_var"]),
+                count=jnp.asarray(saved["rms_count"]),
+            )
+            print(f"[amp_getup] restored snapshot {snap}", flush=True)
+        else:
+            getup_env = HumanoidImGetupEnv(model, motion, getup_cfg)
+            amp_agent = AMPAgent(
+                getup_env, agent.config,
+                AMPConfig(task_reward_w=0.5, disc_reward_w=0.5), net,
+                getup_update_epoch=max(args.amp_getup_epochs // 3, 1),
+            )
+            col0_params = jax.tree.map(jnp.asarray, col_actors[0])
+            col0_rms = jax.tree.map(jnp.asarray, col_rms[0])
+            ats = amp_agent.init(jax.random.PRNGKey(args.seed + 11))
+            ats = ats.replace(ppo=ats.ppo.replace(
+                params=col0_params, obs_rms=col0_rms,
+                opt_state=agent.optimizer.init(col0_params),
+            ))
+            amp_train = jax.jit(amp_agent.train_epoch, donate_argnums=0)
+            t0 = time.time()
+            for epoch in range(args.amp_getup_epochs):
+                ats = amp_agent.pre_epoch(ats, epoch)
+                if amp_agent.needs_retrace:
+                    # the getup-phase flip changes trace constants
+                    # (fall_init_prob 1.0 -> target) — one extra compile
+                    amp_train = jax.jit(
+                        amp_agent.train_epoch, donate_argnums=0
+                    )
+                ats, metrics = amp_train(ats)
+                if epoch % 100 == 0:
+                    print(
+                        f"[amp_getup] epoch={epoch} "
+                        f"reward={float(metrics['reward_mean']):.4f} "
+                        f"task={float(metrics['task_reward_mean']):.4f} "
+                        f"disc={float(metrics['disc_reward_mean']):.4f} "
+                        f"fps={steps_per_epoch*(epoch+1)/(time.time()-t0):,.0f}",
+                        flush=True,
+                    )
+            jax.block_until_ready(jax.tree.leaves(ats)[0])
+            save_snap(snap, ats.ppo.params, ats.ppo.obs_rms)
+            a_params = jax.tree.map(
+                jnp.asarray, jax.device_get(ats.ppo.params)
+            )
+            a_rms = jax.device_get(ats.ppo.obs_rms)
+            a_rms = jax.tree.map(jnp.asarray, a_rms)
+        col_actors.append(jax.device_get(a_params))
+        col_rms.append(jax.device_get(a_rms))
+        amp_getup_eval = eval_policy(
+            jax.tree.map(jnp.asarray, col_actors[-1]),
+            jax.tree.map(jnp.asarray, col_rms[-1]), "amp_getup",
+        )
+        col_evals.append(amp_getup_eval)
+
+    # ---------------------------------------------------------------- #
     # composer stage: frozen PNN over the columns, policy = mix weights
     # ---------------------------------------------------------------- #
-    from pulse_tpu.env.humanoid_im_mcp import HumanoidImMCPEnv
+    from pulse_tpu.env.humanoid_im_mcp import (
+        HumanoidImMCPEnv,
+        HumanoidImMCPGetupEnv,
+    )
     from pulse_tpu.learning.pnn import PNN
 
     n_cols = len(col_actors)
@@ -339,10 +542,24 @@ def main():
             mean=jnp.stack([r.mean for r in col_rms]),
             var=jnp.stack([r.var for r in col_rms]),
         ).freeze()
-        mcp_env = HumanoidImMCPEnv(
-            model, motion, env.config, pnn=pnn, pnn_params=pnn_params,
-            obs_rms=frozen_rms,
-        )
+        if args.composer_env == "getup":
+            # fall/recovery states in the composer's training distribution:
+            # the composer must learn WHEN to hand control to its getup
+            # column, which it only sees if episodes start fallen and get a
+            # termination-grace window (≙ humanoid_im_mcp_getup.py:31)
+            mcp_env = HumanoidImMCPGetupEnv(
+                model, motion,
+                GetupConfig(
+                    **dc.asdict(env.config),
+                    fall_init_prob=0.3, recovery_episode_prob=0.3,
+                ),
+                pnn=pnn, pnn_params=pnn_params, obs_rms=frozen_rms,
+            )
+        else:
+            mcp_env = HumanoidImMCPEnv(
+                model, motion, env.config, pnn=pnn, pnn_params=pnn_params,
+                obs_rms=frozen_rms,
+            )
         comp_net = ActorCritic(
             action_dim=n_cols, actor_units=(512, 256), critic_units=(512, 256)
         )
@@ -359,8 +576,13 @@ def main():
         )
         comp_train = jax.jit(comp_agent.train_epoch, donate_argnums=0)
         cts = comp_agent.init(jax.random.PRNGKey(args.seed + 1))
-        mcp_eval_env = mcp_env.with_config(
-            dc.replace(mcp_env.config, enable_early_termination=False)
+        # scoring is ALWAYS on the plain im MCP env (deterministic clip
+        # sweep, no fall inits) so composer numbers stay comparable across
+        # --composer_env choices and to the column rows
+        mcp_eval_env = HumanoidImMCPEnv(
+            model, motion,
+            dc.replace(env.config, enable_early_termination=False),
+            pnn=pnn, pnn_params=pnn_params, obs_rms=frozen_rms,
         )
         # what the composer can possibly reach: clips some column passes
         passable = ~np.logical_and.reduce(
@@ -379,10 +601,11 @@ def main():
                   f"pa={r.mpjpe_pa:.1f}mm", flush=True)
             return r
 
-        # keyed by column count: a rerun that adds specialist columns must
-        # train a fresh composer, not restore the narrower one. v2: trained
-        # with composer-stage PMCP (see loop below)
-        snap = os.path.join(args.out, f"composer{n_cols}v2.pkl")
+        # keyed by column count AND protocol: a rerun that adds specialist
+        # columns must train a fresh composer, not restore the narrower
+        # one. v2: composer-stage PMCP (loop below); v3: + getup training env
+        comp_v = "v3" if args.composer_env == "getup" else "v2"
+        snap = os.path.join(args.out, f"composer{n_cols}{comp_v}.pkl")
         if os.path.exists(snap):
             with open(snap, "rb") as fh:
                 saved = pickle.load(fh)
@@ -459,7 +682,7 @@ def main():
         }
 
     out = {
-        "suite": "hard_synthetic_v2",
+        "suite": suite_label,
         "pallas": args.pallas,
         "envs": args.envs,
         "seed": args.seed,
@@ -467,8 +690,12 @@ def main():
             "col0": args.epochs,
             "hard": args.hard_epochs,
             "composer": args.composer_epochs,
+            "amp_getup": args.amp_getup_epochs,
         },
+        "composer_env": args.composer_env,
+        "sharp_curriculum": bool(args.sharp_curriculum),
         "specialists": spec_names,
+        "amp_getup": None if amp_getup_eval is None else result_json(amp_getup_eval),
         "columns": [result_json(r) for r in col_evals],
         "composer": None if composer_result is None else result_json(composer_result),
         # the suite score: the best single final artifact (composed policy
@@ -483,6 +710,17 @@ def main():
             M - np.logical_and.reduce([r.failed_motions for r in col_evals]).sum()
         ),
     }
+    if families is not None:
+        # per-family success floors: which difficulty level each family's
+        # coverage reaches in the final artifact (regressions localize)
+        fr = out["final"]["per_clip"]
+        out["per_family"] = {
+            fam: {
+                "passed": sum(fr[names[i]]["success"] for i in idx),
+                "levels": {names[i]: fr[names[i]]["success"] for i in idx},
+            }
+            for fam, idx in families.items()
+        }
     print(json.dumps(out, indent=2))
     with open(os.path.join(args.out, "curriculum.json"), "w") as fh:
         json.dump(out, fh, indent=2)

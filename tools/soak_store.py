@@ -62,6 +62,7 @@ def main():
     ap.add_argument("--seconds", type=float, default=4.0)
     ap.add_argument("--envs", type=int, default=3072)
     ap.add_argument("--train_epochs", type=int, default=3)
+    ap.add_argument("--out", default="", help="write the report JSON here")
     args = ap.parse_args()
 
     from pulse_tpu.assets import load_smpl_humanoid
@@ -85,6 +86,8 @@ def main():
         spec.skeleton, num_clips=args.clips, seconds=args.seconds
     )
     t_gen = time.time() - t0
+    print(f"[soak] generated {len(clips)} clips in {t_gen:.1f}s; FK build...",
+          flush=True)
     t0 = time.time()
     motion = build_motion_data(spec.skeleton, clips)
     jax.block_until_ready(motion.gts)
@@ -110,6 +113,8 @@ def main():
     )
     env_small = HumanoidImEnv(model, small, EnvConfig())
     env_big = HumanoidImEnv(model, motion, EnvConfig())
+    print("[soak] measuring step rates (first env compile is slow)...",
+          flush=True)
     r_small = step_rate(env_small, args.envs)
     r_big = step_rate(env_big, args.envs)
     report["step_rate"] = {
@@ -147,6 +152,8 @@ def main():
     )
     ts = agent.init(jax.random.PRNGKey(0))
     train = jax.jit(agent.train_epoch, donate_argnums=0)
+    print("[soak] compiling train_epoch with the big store resident...",
+          flush=True)
     ts, m = train(ts)
     jax.block_until_ready(m["reward_mean"])
     t0 = time.time()
@@ -160,6 +167,9 @@ def main():
         "reward_finite": bool(np.isfinite(float(m["reward_mean"]))),
     }
     print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=2)
 
 
 if __name__ == "__main__":
