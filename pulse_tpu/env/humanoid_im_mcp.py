@@ -19,19 +19,29 @@ from pulse_tpu.learning.pnn import PNN, compose_actions
 class _MCPMixin:
     """Overrides the action pathway: weights -> blended primitive action."""
 
-    def init_mcp(self, pnn: PNN, pnn_params, obs_rms=None):
+    def init_mcp(self, pnn: PNN, pnn_params, obs_rms=None, gate_temp=1.0):
         self.pnn = pnn
         self.pnn_params = pnn_params
         # reference checkpoints run the PNN on running_mean_std-normalized
         # obs (AMPMCPBuilder forward); frozen stats ride along when imported
         self.pnn_obs_rms = obs_rms
         self.action_dim = pnn.num_primitives
+        # gate logits arrive CLIPPED to [-1, 1] (PPO clips actions before
+        # env.step, and im_eval clips mu): at temp 1 the softmax can reach at
+        # most e^2/(e^2 + (N-1)) of one column (~0.6 at N=6), so the composer
+        # can never hand full control to a specialist. The reference has no
+        # such bound — its composer softmax sits INSIDE the network
+        # (amp_network_mcp_builder.py:53-55). gate_temp scales the clipped
+        # logits so +-1 actions express near-one-hot routing (temp 4 ->
+        # max weight ~0.997 at N=6).
+        self.gate_temp = gate_temp
 
     def _ctor_kwargs(self) -> dict:
         return {
             "pnn": self.pnn,
             "pnn_params": self.pnn_params,
             "obs_rms": self.pnn_obs_rms,
+            "gate_temp": self.gate_temp,
         }
 
     def motor_actions_one(self, state: EnvState, weights: jax.Array) -> jax.Array:
@@ -50,7 +60,7 @@ class _MCPMixin:
                 obs, obs.shape[:-2] + (self.pnn.num_primitives, obs.shape[-1])
             )
         prims = self.pnn.apply({"params": self.pnn_params}, obs)
-        w = jax.nn.softmax(weights, axis=-1)
+        w = jax.nn.softmax(weights * self.gate_temp, axis=-1)
         return jnp.clip(compose_actions(w, prims), -1.0, 1.0)
 
 
@@ -59,13 +69,13 @@ class HumanoidImMCPEnv(_MCPMixin, HumanoidImEnv):
     # rebuild `type(self)(model, motion, config, **self._ctor_kwargs())`
     # round-trips the frozen primitives
     def __init__(self, model, motion, config=None, *, pnn: PNN, pnn_params,
-                 obs_rms=None):
+                 obs_rms=None, gate_temp=1.0):
         super().__init__(model, motion, config)
-        self.init_mcp(pnn, pnn_params, obs_rms)
+        self.init_mcp(pnn, pnn_params, obs_rms, gate_temp)
 
 
 class HumanoidImMCPGetupEnv(_MCPMixin, HumanoidImGetupEnv):
     def __init__(self, model, motion, config=None, *, pnn: PNN, pnn_params,
-                 obs_rms=None):
+                 obs_rms=None, gate_temp=1.0):
         super().__init__(model, motion, config)
-        self.init_mcp(pnn, pnn_params, obs_rms)
+        self.init_mcp(pnn, pnn_params, obs_rms, gate_temp)

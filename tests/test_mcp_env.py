@@ -106,6 +106,39 @@ def test_mcp_per_column_norm_matches_shared():
     assert not np.allclose(np.asarray(b), np.asarray(c))
 
 
+def test_mcp_gate_temp_routing():
+    """gate_temp lets [-1,1]-clipped gate logits express near-one-hot
+    routing: at temp 1 a +-1 one-hot logit tops out at softmax weight
+    ~0.6 (N=3), so the blend never hands full control to one column; at
+    temp 8 the same logits route >0.999 to the chosen column and the motor
+    action matches that column's primitive output."""
+    env1 = _mcp_env()
+    env8 = HumanoidImMCPEnv(
+        env1.model, env1.motion, EnvConfig(),
+        pnn=env1.pnn, pnn_params=env1.pnn_params, gate_temp=8.0,
+    )
+    B = 4
+    states = env1.reset(jax.random.split(jax.random.PRNGKey(1), B))
+    # representable optimum under the action clip: 2*onehot - 1
+    weights = jnp.tile(jnp.array([[1.0, -1.0, -1.0]]), (B, 1))
+    prims = jax.vmap(lambda o: env1.pnn.apply({"params": env1.pnn_params}, o))(
+        states.obs
+    )
+    col0 = jnp.clip(prims[:, 0, :], -1.0, 1.0)
+    hot = jax.vmap(env8.motor_actions_one)(states, weights)
+    np.testing.assert_allclose(np.asarray(hot), np.asarray(col0), atol=1e-3)
+    blend = jax.vmap(env1.motor_actions_one)(states, weights)
+    # temp 1 cannot: the off columns keep ~40% of the blend
+    assert np.abs(np.asarray(blend) - np.asarray(col0)).max() > 1e-2
+
+    # gate_temp survives with_config's rebuild (ctor kwargs round-trip)
+    import dataclasses as dc
+
+    assert env8.with_config(
+        dc.replace(env8.config, enable_early_termination=False)
+    ).gate_temp == 8.0
+
+
 def test_mcp_with_config_roundtrip():
     import dataclasses as dc
 

@@ -116,6 +116,22 @@ def main():
         "specialist got 103; ≙ humanoid_im_mcp_getup.py) — eval is always "
         "on the plain im MCP env for comparable scores",
     )
+    ap.add_argument(
+        "--gate_temp", type=float, default=4.0,
+        help="composer gate softmax temperature. PPO clips gate actions to "
+        "[-1,1], so at temp 1 the softmax tops out at ~0.6 of one column "
+        "(N=6) and the composer can never hand FULL control to a "
+        "specialist — the round-4 composer's 4/6 ceiling. temp 4 makes "
+        "+-1 logits near-one-hot (max weight ~0.997)",
+    )
+    ap.add_argument(
+        "--gate_pretrain_rounds", type=int, default=150,
+        help="if >0: before PPO, behavior-clone the composer gate to the "
+        "ORACLE routing (one-hot of each clip's best column, known from the "
+        "column evals) on states visited under that oracle. PPO then only "
+        "fine-tunes — and is skipped entirely if the pretrained gate "
+        "already reaches the column union",
+    )
     ap.add_argument("--out", default="output/curriculum")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -554,11 +570,12 @@ def main():
                     fall_init_prob=0.3, recovery_episode_prob=0.3,
                 ),
                 pnn=pnn, pnn_params=pnn_params, obs_rms=frozen_rms,
+                gate_temp=args.gate_temp,
             )
         else:
             mcp_env = HumanoidImMCPEnv(
                 model, motion, env.config, pnn=pnn, pnn_params=pnn_params,
-                obs_rms=frozen_rms,
+                obs_rms=frozen_rms, gate_temp=args.gate_temp,
             )
         comp_net = ActorCritic(
             action_dim=n_cols, actor_units=(512, 256), critic_units=(512, 256)
@@ -583,6 +600,7 @@ def main():
             model, motion,
             dc.replace(env.config, enable_early_termination=False),
             pnn=pnn, pnn_params=pnn_params, obs_rms=frozen_rms,
+            gate_temp=args.gate_temp,
         )
         # what the composer can possibly reach: clips some column passes
         passable = ~np.logical_and.reduce(
@@ -601,10 +619,82 @@ def main():
                   f"pa={r.mpjpe_pa:.1f}mm", flush=True)
             return r
 
+        def gate_pretrain(cts):
+            """BC the gate to the oracle routing (each clip's best column).
+
+            The representable optimum under the [-1,1] action clip is
+            logits = 2*onehot(best_col) - 1 (near-one-hot after gate_temp
+            scaling); states are collected ON-ORACLE (the oracle gate
+            drives the scoring env), so BC sees exactly the states the
+            routed specialists visit. The reference trains this routing
+            with RL alone (humanoid_im_mcp.py); with the per-clip-best
+            assignment already known from the column evals, supervised
+            routing + a PPO fine-tune is strictly cheaper.
+            """
+            import optax
+
+            fails = np.stack([np.asarray(r.failed_motions) for r in col_evals])
+            drift = np.stack(
+                [np.asarray(r.per_motion_mpjpe_g) for r in col_evals]
+            )
+            best_col = np.argmin(drift + 1e9 * fails, axis=0)  # [M]
+            print("[gate_pretrain] oracle routing: "
+                  + ", ".join(f"{names[i]}->col{best_col[i]}" for i in range(M)),
+                  flush=True)
+            target_table = jnp.asarray(
+                2.0 * np.eye(n_cols)[best_col] - 1.0, dtype=jnp.float32
+            )  # [M, n_cols]
+            opt = optax.adam(1e-3)
+            opt_state = opt.init(cts.params)
+            H = 32
+
+            @jax.jit
+            def round_fn(states, params, opt_state, rms):
+                def body(st, _):
+                    a = target_table[st.motion_id]
+                    return mcp_eval_env.step(st, a), (st.obs, a)
+
+                states, (obs, tgt) = jax.lax.scan(
+                    body, states, None, length=H
+                )
+                obs = obs.reshape(-1, obs.shape[-1])
+                tgt = tgt.reshape(-1, n_cols)
+                rms = rms.update(obs)
+
+                def loss_fn(p):
+                    mu, _, _ = comp_net.apply(
+                        {"params": p}, rms.normalize(obs)
+                    )
+                    return jnp.mean((mu - tgt) ** 2)
+
+                loss, g = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(g, opt_state)
+                return (
+                    states, optax.apply_updates(params, updates),
+                    opt_state, rms, loss,
+                )
+
+            keys = jax.random.split(
+                jax.random.PRNGKey(args.seed + 2), args.envs
+            )
+            states = mcp_eval_env.reset(keys)
+            params, rms = cts.params, cts.obs_rms
+            t0 = time.time()
+            for i in range(args.gate_pretrain_rounds):
+                states, params, opt_state, rms, loss = round_fn(
+                    states, params, opt_state, rms
+                )
+                if i % 25 == 0 or i == args.gate_pretrain_rounds - 1:
+                    print(f"[gate_pretrain] round={i} "
+                          f"bc_loss={float(loss):.4f} "
+                          f"({time.time() - t0:.0f}s)", flush=True)
+            return cts.replace(params=params, obs_rms=rms)
+
         # keyed by column count AND protocol: a rerun that adds specialist
         # columns must train a fresh composer, not restore the narrower
-        # one. v2: composer-stage PMCP (loop below); v3: + getup training env
-        comp_v = "v3" if args.composer_env == "getup" else "v2"
+        # one. v2: composer-stage PMCP (loop below); v3: + getup training
+        # env; v4: + gate_temp routing and oracle-routing BC pretrain
+        comp_v = "v4" if args.composer_env == "getup" else "v4im"
         snap = os.path.join(args.out, f"composer{n_cols}{comp_v}.pkl")
         if os.path.exists(snap):
             with open(snap, "rb") as fh:
@@ -619,8 +709,18 @@ def main():
             )
             print(f"[composer] restored snapshot {snap}", flush=True)
         else:
+            skip_ppo = False
+            if args.gate_pretrain_rounds > 0:
+                cts = gate_pretrain(cts)
+                r0 = eval_composer(
+                    cts.params, cts.obs_rms, "composer/pretrained"
+                )
+                skip_ppo = not (np.asarray(r0.failed_motions) & passable).any()
+                if skip_ppo:
+                    print("[composer] pretrained gate reaches the column "
+                          "union — skipping PPO fine-tune", flush=True)
             t0 = time.time()
-            for epoch in range(args.composer_epochs):
+            for epoch in range(0 if skip_ppo else args.composer_epochs):
                 cts, metrics = comp_train(cts)
                 if epoch % 100 == 0:
                     r = float(metrics["reward_mean"])
