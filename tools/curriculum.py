@@ -400,7 +400,38 @@ def main():
         union_failed = np.logical_and.reduce(
             [np.asarray(r.failed_motions) for r in col_evals]
         )
-        for i in np.flatnonzero(union_failed)[: args.max_specialists]:
+        failed_ids = list(np.flatnonzero(union_failed))
+        fam_of = lvl_of = None
+        if families is not None:
+            # graded suite: process rungs easy -> hard within each family so
+            # each specialist can warm-start from the previous rung's owner
+            # — the generalized turn ladder (train_sharp_ladder is the
+            # hard-suite special case of the same idea)
+            fam_of = {i: f for f, idx in families.items() for i in idx}
+            lvl_of = {
+                i: k for f, idx in families.items() for k, i in enumerate(idx)
+            }
+            failed_ids.sort(key=lambda i: (fam_of[i], lvl_of[i]))
+
+        def spec_init_source(i):
+            """Artifact to warm-start clip i's specialist from: the column/
+            specialist with the lowest drift on the immediately easier rung
+            of i's family (preferring ones that PASS it); col0 otherwise."""
+            if fam_of is None:
+                return 0
+            easier = [j for j in families[fam_of[i]] if lvl_of[j] < lvl_of[i]]
+            if not easier:
+                return 0
+            j = easier[-1]
+            return min(
+                range(len(col_evals)),
+                key=lambda c: (
+                    bool(np.asarray(col_evals[c].failed_motions)[j]),
+                    float(np.asarray(col_evals[c].per_motion_mpjpe_g)[j]),
+                ),
+            )
+
+        for i in failed_ids[: args.max_specialists]:
             name = names[i]
             use_ladder = args.sharp_curriculum and name == "sharp_turns"
             snap = os.path.join(
@@ -423,12 +454,16 @@ def main():
             else:
                 # fresh device upload per specialist: the previous
                 # specialist's training donated the last upload's buffers
-                col0_params = jax.tree.map(jnp.asarray, col_actors[0])
-                col0_rms = jax.tree.map(jnp.asarray, col_rms[0])
+                src = spec_init_source(i)
+                if src:
+                    print(f"[spec_{name}] warm-start from column {src} "
+                          f"(owns the easier rung)", flush=True)
+                src_params = jax.tree.map(jnp.asarray, col_actors[src])
+                src_rms = jax.tree.map(jnp.asarray, col_rms[src])
                 ts = ts.replace(
-                    params=col0_params,
-                    obs_rms=col0_rms,
-                    opt_state=agent.optimizer.init(col0_params),
+                    params=src_params,
+                    obs_rms=src_rms,
+                    opt_state=agent.optimizer.init(src_params),
                     epoch=jnp.zeros((), jnp.int32),
                 )
                 if use_ladder:
@@ -709,12 +744,32 @@ def main():
             )
             print(f"[composer] restored snapshot {snap}", flush=True)
         else:
+            # keep the best-by-eval gate across pretrain/mid/final: the PPO
+            # fine-tune starts from a fresh (random) value head, so its
+            # first epochs can DEGRADE a good pretrained gate on noisy
+            # advantages — the shipped artifact must never be worse than
+            # the best point we measured
+            best = {"key": None}
+
+            def consider(r, params, rms):
+                key = (
+                    int(np.asarray(r.failed_motions).sum()),
+                    float(r.mpjpe_pa),
+                )
+                if best["key"] is None or key < best["key"]:
+                    best.update(
+                        key=key,
+                        params=jax.device_get(params),
+                        rms=jax.device_get(rms),
+                    )
+
             skip_ppo = False
             if args.gate_pretrain_rounds > 0:
                 cts = gate_pretrain(cts)
                 r0 = eval_composer(
                     cts.params, cts.obs_rms, "composer/pretrained"
                 )
+                consider(r0, cts.params, cts.obs_rms)
                 skip_ppo = not (np.asarray(r0.failed_motions) & passable).any()
                 if skip_ppo:
                     print("[composer] pretrained gate reaches the column "
@@ -736,6 +791,7 @@ def main():
                     r_mid = eval_composer(
                         cts.params, cts.obs_rms, f"composer@{epoch}"
                     )
+                    consider(r_mid, cts.params, cts.obs_rms)
                     gap = np.asarray(r_mid.failed_motions) & passable
                     if not gap.any():
                         print(f"[composer] reaches the column union at "
@@ -749,6 +805,17 @@ def main():
                     cts = cts.replace(
                         motion_prob=0.5 * jnp.array(hard) + 0.5 / M
                     )
+            if not skip_ppo and args.composer_epochs > 0:
+                r_end = eval_composer(cts.params, cts.obs_rms, "composer/end")
+                consider(r_end, cts.params, cts.obs_rms)
+            if best["key"] is not None:
+                cts = cts.replace(
+                    params=jax.tree.map(jnp.asarray, best["params"]),
+                    obs_rms=jax.tree.map(jnp.asarray, best["rms"]),
+                )
+                print(f"[composer] shipping best measured gate: "
+                      f"{M - best['key'][0]}/{M} pa={best['key'][1]:.1f}mm",
+                      flush=True)
             jax.block_until_ready(jax.tree.leaves(cts)[0])
             with open(snap, "wb") as fh:
                 pickle.dump(
