@@ -284,6 +284,9 @@ class AMPModule:
         self, amp_state: AMPState, key: jax.Array, rollout_amp_obs: jax.Array
     ) -> tuple[AMPState, dict]:
         """One discriminator update from rollout data + buffers."""
+        mesh = getattr(self.env, "mesh", None)
+        if mesh is not None:
+            return self._update_dp(mesh, amp_state, key, rollout_amp_obs)
         cfg = self.config
         n = cfg.amp_batch_size
         flat = rollout_amp_obs.reshape(-1, rollout_amp_obs.shape[-1])
@@ -327,6 +330,124 @@ class AMPModule:
         params = optax.apply_updates(amp_state.disc_params, updates)
 
         replay_buffer = amp_state.replay_buffer.push(agent_obs)
+        return (
+            amp_state.replace(
+                disc_params=params,
+                disc_opt_state=opt_state,
+                amp_rms=rms,
+                demo_buffer=demo_buffer,
+                replay_buffer=replay_buffer,
+            ),
+            metrics,
+        )
+
+    def _update_dp(
+        self, mesh, amp_state: AMPState, key: jax.Array, rollout_amp_obs
+    ) -> tuple[AMPState, dict]:
+        """Data-parallel discriminator update. The host path's agent-batch
+        gather (flat[idx] over the flattened [T*B] rollout) forces GSPMD to
+        all-gather the FULL amp-obs tensor onto every device (see ppo.py
+        _update_dp); here each device draws amp_batch_size/D agent rows
+        from its OWN rollout shard under shard_map, demo/replay batches are
+        drawn replicated and sliced per device, and gradients + rms moments
+        are pmean'd (≙ horovod allreduce around the disc step,
+        common_agent.py:112-127). Buffers stay replicated: the demo push is
+        identical on every device; the replay push concatenates the
+        per-device agent rows (P(ax) out-spec == all-gather of a small
+        [batch, AO] block)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        cfg = self.config
+        ax = mesh.axis_names[0]
+        D = mesh.devices.size
+        n = cfg.amp_batch_size
+        T, B = rollout_amp_obs.shape[:2]
+        if B % D or n % D:
+            raise ValueError(
+                f"DP disc update needs num_envs ({B}) and amp_batch_size "
+                f"({n}) divisible by the mesh size ({D})"
+            )
+        nl = n // D
+        k_demo_new, k_demo, k_replay, k_agent, k_mix, k_drop = (
+            jax.random.split(key, 6)
+        )
+        # demo fetch/push/sample are replicated work on replicated state
+        # (same key everywhere); they sample the motion store, not the
+        # sharded rollout
+        demo_new = self.fetch_demo(k_demo_new, n)
+        demo_buffer = amp_state.demo_buffer.push(demo_new)
+        demo_full = demo_buffer.sample(k_demo, n)
+        replay_full = amp_state.replay_buffer.sample(k_replay, n)
+
+        def local_disc(params, opt_state, amp_rms, replay_size,
+                       k_agent, k_mix, k_drop,
+                       demo_full, replay_full, demo_new, amp_obs):
+            d = jax.lax.axis_index(ax)
+            flat = amp_obs.reshape(-1, amp_obs.shape[-1])
+            Nl = flat.shape[0]
+            # same idx values per device, different shards -> distinct rows
+            idx = jax.random.randint(k_agent, (nl,), 0, Nl)
+            agent_obs = flat[idx]
+            demo_obs = jax.lax.dynamic_slice_in_dim(demo_full, d * nl, nl)
+            replay_obs = jax.lax.dynamic_slice_in_dim(replay_full, d * nl, nl)
+            use_replay = (
+                jax.random.uniform(jax.random.fold_in(k_mix, d), (nl, 1)) < 0.5
+            ) & (replay_size > 0)
+            agent_mix = jnp.where(use_replay, replay_obs, agent_obs)
+
+            if cfg.amp_dropout:
+                k_apply, k_where = jax.random.split(k_drop)
+                dim = agent_mix.shape[-1]
+                width = max(int(dim * cfg.amp_dropout_frac), 1)
+                start = jax.random.randint(k_where, (), 0, max(dim - width, 1))
+                cols = jnp.arange(dim)
+                mask = ((cols < start) | (cols >= start + width)).astype(
+                    agent_mix.dtype
+                )
+                apply = (
+                    jax.random.uniform(
+                        jax.random.fold_in(k_apply, d), (nl, 1)
+                    )
+                    < cfg.amp_dropout_prob
+                )
+                agent_mix = jnp.where(apply, agent_mix * mask, agent_mix)
+                demo_obs = jnp.where(apply, demo_obs * mask, demo_obs)
+
+            # rms moments of [global rollout rows ++ demo_new], no gather
+            m_f = jax.lax.pmean(flat.mean(axis=0), ax)
+            e2_f = jax.lax.pmean(jnp.mean(flat * flat, axis=0), ax)
+            Nf = Nl * D
+            m_d = demo_new.mean(axis=0)
+            e2_d = jnp.mean(demo_new * demo_new, axis=0)
+            tot = Nf + n
+            m = (Nf * m_f + n * m_d) / tot
+            e2 = (Nf * e2_f + n * e2_d) / tot
+            rms = amp_rms.update_moments(m, jnp.maximum(e2 - m * m, 0.0), tot)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                self._disc_loss, has_aux=True
+            )(params, agent_mix, demo_obs, rms)
+            grads = jax.lax.pmean(grads, ax)
+            metrics = jax.lax.pmean(metrics, ax)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, rms, metrics, agent_obs
+
+        rep = PartitionSpec()
+        params, opt_state, rms, metrics, agent_rows = shard_map(
+            local_disc,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, rep, rep, rep, rep, rep, rep, rep,
+                      PartitionSpec(None, ax)),
+            out_specs=(rep, rep, rep, rep, PartitionSpec(ax)),
+        )(
+            amp_state.disc_params, amp_state.disc_opt_state,
+            amp_state.amp_rms, amp_state.replay_buffer.size,
+            k_agent, k_mix, k_drop,
+            demo_full, replay_full, demo_new, rollout_amp_obs,
+        )
+        replay_buffer = amp_state.replay_buffer.push(agent_rows)
         return (
             amp_state.replace(
                 disc_params=params,

@@ -117,9 +117,9 @@ class AMPAgent:
         """Everything after play_steps: reward mixing, PPO update, disc
         update. Split out so the joint RL+kin agent can run its kin update
         on the SAME rollout (≙ amp_agent.py:637-654)."""
-        disc_r = self.amp.disc_reward(
-            ts.amp, traj.amp_obs.reshape(-1, traj.amp_obs.shape[-1])
-        ).reshape(traj.rewards.shape)
+        # no flatten: the disc applies on the last axis, and merging the
+        # sharded env axis into [T*B] would make GSPMD re-shard under a mesh
+        disc_r = self.amp.disc_reward(ts.amp, traj.amp_obs)
         task_r = traj.rewards
         mixed = self.amp.combine_rewards(task_r, disc_r, ts.amp)
         traj = traj.replace(rewards=mixed)

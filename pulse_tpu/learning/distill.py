@@ -151,8 +151,18 @@ class DistillAgent:
             cfg.kld_coefficient_min - cfg.kld_coefficient
         )
 
-    def _loss(self, params, batch, epoch):
+    def _loss(self, params, batch, epoch, axis_name=None):
+        """With `axis_name` (the DP path), every batch mean is the GLOBAL
+        mean via pmean. This matters beyond cosmetics: bc is sqrt(MSE) —
+        non-linear in the mean — so averaging per-shard gradients of
+        per-shard losses would NOT equal the global gradient. With global
+        means inside the loss, each device's grad carries the 1/D factor
+        from pmean's VJP and a psum reassembles the exact global gradient."""
         cfg = self.config
+
+        def gmean(x):
+            m = jnp.mean(x)
+            return jax.lax.pmean(m, axis_name) if axis_name else m
         # obs arrive pre-normalized (and pre-cast to the network compute
         # dtype) from update() — the stats are constant across the epoch's
         # gradient steps, so normalizing once outside the minibatch scans
@@ -164,8 +174,8 @@ class DistillAgent:
         out_prev = self.network.apply({"params": params}, obs_n[:, 0], z_noise[:, 0])
         out = self.network.apply({"params": params}, obs_n[:, 1], z_noise[:, 1])
 
-        bc = jnp.sqrt(jnp.mean((out["action_mu"] - gt[:, 1]) ** 2))
-        kld = jnp.mean(
+        bc = jnp.sqrt(gmean((out["action_mu"] - gt[:, 1]) ** 2))
+        kld = gmean(
             kl_multi(
                 out["post_mu"], out["post_logvar"],
                 out["prior_mu"], out["prior_logvar"],
@@ -173,13 +183,13 @@ class DistillAgent:
         )
         # AR(1) temporal prior: posterior_t vs rho * z_{t-1} (amp_agent.py:792-808)
         z_prev = out_prev["post_mu"]
-        ar1 = jnp.mean(
+        ar1 = gmean(
             kl_multi(
                 out["post_mu"], out["post_logvar"],
                 cfg.ar1_rho * z_prev, jnp.zeros_like(out["post_logvar"]),
             )
         )
-        prior_reg = jnp.mean(jnp.sum(out["prior_mu"] ** 2, axis=-1))
+        prior_reg = gmean(jnp.sum(out["prior_mu"] ** 2, axis=-1))
 
         total = (
             bc
@@ -190,6 +200,9 @@ class DistillAgent:
         return total, {"bc_loss": bc, "kld": kld, "ar1": ar1, "prior_reg": prior_reg}
 
     def update(self, ds: DistillState, traj) -> tuple[DistillState, dict]:
+        mesh = getattr(self.env, "mesh", None)
+        if mesh is not None:
+            return self._update_dp(mesh, ds, traj)
         cfg = self.config
         # derive from the trajectory, not the config: in joint RL+kin mode
         # the rollout comes from the AMP agent (its own horizon)
@@ -252,6 +265,106 @@ class DistillAgent:
             epoch=ds.epoch + 1,
         )
         return ds, jax.tree.map(jnp.mean, metrics)
+
+    def _update_dp(self, mesh, ds: DistillState, traj):
+        """Data-parallel kin update: per-shard minibatching under shard_map
+        with pmean'd gradients/moments — see ppo.py _update_dp for why GSPMD
+        can't partition the global-shuffle path (full-rollout all-gather)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        cfg = self.config
+        ax = mesh.axis_names[0]
+        D = mesh.devices.size
+        T, B = traj["obs"].shape[:2]
+        N = (T - 1) * B
+        mb_global = min(cfg.minibatch_size, N)
+        if B % D or mb_global % D:
+            raise ValueError(
+                f"DP update needs num_envs ({B}) and minibatch_size "
+                f"({mb_global}) divisible by the mesh size ({D})"
+            )
+
+        def local_update(params, opt_state, obs_rms, key, epoch, traj):
+            Nl = N // D
+
+            def pair(x):
+                return jnp.stack([x[:-1], x[1:]], axis=2).reshape(
+                    Nl, 2, *x.shape[2:]
+                )
+
+            if cfg.normalize_input:
+                o = traj["obs"].reshape(-1, traj["obs"].shape[-1])
+                m = jax.lax.pmean(o.mean(axis=0), ax)
+                e2 = jax.lax.pmean(jnp.mean(o * o, axis=0), ax)
+                obs_rms = obs_rms.update_moments(
+                    m, jnp.maximum(e2 - m * m, 0.0), T * B
+                )
+                traj = dict(traj)
+                on = obs_rms.normalize(traj["obs"])
+                net_dtype = getattr(self.network, "dtype", None)
+                if net_dtype is not None:
+                    on = on.astype(net_dtype)
+                traj["obs"] = on
+            flat = {k: pair(v) for k, v in traj.items()}
+            mb = mb_global // D
+            num_mb = Nl // mb
+
+            def mini_epoch(carry, key):
+                params, opt_state = carry
+                perm = jax.random.permutation(key, Nl)
+                shuffled = jax.tree.map(lambda x: x[perm], flat)
+
+                def mb_step(carry, i):
+                    params, opt_state = carry
+                    batch = jax.tree.map(
+                        lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb),
+                        shuffled,
+                    )
+                    # loss terms are GLOBAL means (axis_name) and each
+                    # device's grad carries pmean's 1/D VJP factor, so psum
+                    # — not pmean — reassembles the exact global gradient
+                    (loss, metrics), grads = jax.value_and_grad(
+                        self._loss, has_aux=True
+                    )(params, batch, epoch, axis_name=ax)
+                    grads = jax.lax.psum(grads, ax)
+                    updates, opt_state = self.optimizer.update(
+                        grads, opt_state, params
+                    )
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), metrics
+
+                (params, opt_state), metrics = jax.lax.scan(
+                    mb_step, (params, opt_state), jnp.arange(num_mb)
+                )
+                return (params, opt_state), metrics
+
+            key, k_upd = jax.random.split(key)
+            keys = jax.random.split(k_upd, cfg.mini_epochs)
+            (params, opt_state), metrics = jax.lax.scan(
+                mini_epoch, (params, opt_state), keys
+            )
+            return (
+                params, opt_state, obs_rms, key,
+                jax.tree.map(jnp.mean, metrics),
+            )
+
+        data_p = PartitionSpec(None, ax)
+        rep = PartitionSpec()
+        params, opt_state, obs_rms, key, metrics = shard_map(
+            local_update,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, rep, rep, data_p),
+            out_specs=(rep, rep, rep, rep, rep),
+        )(ds.params, ds.opt_state, ds.obs_rms, ds.key, ds.epoch, traj)
+        ds = ds.replace(
+            params=params,
+            opt_state=opt_state,
+            obs_rms=obs_rms,
+            key=key,
+            epoch=ds.epoch + 1,
+        )
+        return ds, metrics
 
     def train_epoch(self, ds: DistillState):
         ds, traj = self.rollout(ds)

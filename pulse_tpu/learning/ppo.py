@@ -513,6 +513,9 @@ class PPOAgent:
         return total, metrics
 
     def update(self, ts: TrainState, traj: Rollout, advantages, returns):
+        mesh = getattr(self.env, "mesh", None)
+        if mesh is not None:
+            return self._update_dp(mesh, ts, traj, advantages, returns)
         cfg = self.config
         T, B = traj.rewards.shape
         N = T * B
@@ -586,6 +589,146 @@ class PPOAgent:
             epoch=ts.epoch + 1,
         )
         return ts, jax.tree.map(jnp.mean, metrics)
+
+    def _update_dp(self, mesh, ts: TrainState, traj: Rollout, advantages, returns):
+        """The update phase under data parallelism: shard_map over the mesh,
+        each device minibatching its OWN rollout shard, gradients pmean'd
+        before a replicated optimizer step — the reference's horovod
+        semantics (hvd.allreduce around calc_gradients, common_agent.py:
+        112-127) in the XLA collective model.
+
+        Why not let GSPMD partition the single-chip update()? Its global
+        shuffle of the flattened [T*B] rollout is a data-dependent gather
+        across the sharded env axis, so GSPMD must all-gather the FULL
+        rollout onto every device (measured 857 MB/epoch @ 3072 envs/2320-d
+        amp obs — caught by tools/check_partitioning.py). Shuffling within
+        shards keeps the rollout resident and trades only cross-device
+        minibatch mixing — which DP training never had: each horovod worker
+        shuffles only its local rollout too. Running-stat and advantage
+        moments are pmean'd so normalizers stay bit-identical to the
+        gathered computation (up to float association); the same PRNG key
+        drives every device's permutation, keeping all replicated state
+        provably synchronized."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        cfg = self.config
+        ax = mesh.axis_names[0]
+        D = mesh.devices.size
+        T, B = traj.rewards.shape
+        N = T * B
+        mb_global = min(cfg.minibatch_size, N)
+        if B % D or mb_global % D:
+            raise ValueError(
+                f"DP update needs num_envs ({B}) and minibatch_size "
+                f"({mb_global}) divisible by the mesh size ({D})"
+            )
+
+        def pmoments(x, axis_name):
+            """Global (mean, var) of a sharded row batch via pmean."""
+            m = jax.lax.pmean(jnp.mean(x, axis=0), axis_name)
+            e2 = jax.lax.pmean(jnp.mean(x * x, axis=0), axis_name)
+            return m, jnp.maximum(e2 - m * m, 0.0)
+
+        def local_update(params, opt_state, epoch_obs_rms, value_rms, key,
+                         traj, advantages, returns):
+            Nl = N // D
+            flat_obs = traj.obs.reshape(Nl, -1)
+            obs_rms = epoch_obs_rms
+            if cfg.normalize_input:
+                gm, gv = pmoments(flat_obs, ax)
+                obs_rms = obs_rms.update_moments(gm, gv, N)
+            # epoch-start stats for the loss under temp_running_mean
+            loss_obs_rms = epoch_obs_rms if cfg.temp_running_mean else obs_rms
+            obs_for_loss = (
+                loss_obs_rms.normalize(flat_obs)
+                if cfg.normalize_input
+                else flat_obs
+            )
+            net_dtype = getattr(self.network, "dtype", None)
+            if net_dtype is not None:
+                obs_for_loss = obs_for_loss.astype(net_dtype)
+            flat = {
+                "obs_norm": obs_for_loss,
+                "actions": traj.actions.reshape(Nl, -1),
+                "neglogp": traj.neglogp.reshape(Nl),
+                "advantages": advantages.reshape(Nl),
+                "returns": returns.reshape(Nl),
+            }
+            if cfg.normalize_value:
+                gm, gv = pmoments(returns.reshape(Nl, 1), ax)
+                value_rms = value_rms.update_moments(gm, gv, N)
+            flat["returns_norm"] = value_rms.normalize(
+                flat["returns"][:, None]
+            )[:, 0]
+            if cfg.normalize_advantage:
+                adv = flat["advantages"]
+                am, av = pmoments(adv[:, None], ax)
+                flat["advantages"] = (adv - am[0]) / (jnp.sqrt(av[0]) + 1e-8)
+
+            mb = mb_global // D
+            num_mb = Nl // mb
+
+            def mini_epoch(carry, key):
+                params, opt_state = carry
+                # the SAME key on every device: replicated state stays
+                # provably replicated; the data under the permutation is the
+                # device's own shard, so minibatches still differ
+                perm = jax.random.permutation(key, Nl)
+                shuffled = jax.tree.map(lambda x: x[perm], flat)
+
+                def mb_step(carry, i):
+                    params, opt_state = carry
+                    batch = jax.tree.map(
+                        lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb),
+                        shuffled,
+                    )
+                    (loss, metrics), grads = jax.value_and_grad(
+                        self._loss, has_aux=True
+                    )(params, batch, value_rms)
+                    grads = jax.lax.pmean(grads, ax)
+                    metrics = jax.lax.pmean(metrics, ax)
+                    updates, opt_state = self.optimizer.update(
+                        grads, opt_state, params
+                    )
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), metrics
+
+                (params, opt_state), metrics = jax.lax.scan(
+                    mb_step, (params, opt_state), jnp.arange(num_mb)
+                )
+                return (params, opt_state), metrics
+
+            key, k_upd = jax.random.split(key)
+            keys = jax.random.split(k_upd, cfg.mini_epochs)
+            (params, opt_state), metrics = jax.lax.scan(
+                mini_epoch, (params, opt_state), keys
+            )
+            return (
+                params, opt_state, obs_rms, value_rms, key,
+                jax.tree.map(jnp.mean, metrics),
+            )
+
+        data_p = PartitionSpec(None, ax)
+        rep = PartitionSpec()
+        params, opt_state, obs_rms, value_rms, key, metrics = shard_map(
+            local_update,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, rep, rep, data_p, data_p, data_p),
+            out_specs=(rep, rep, rep, rep, rep, rep),
+        )(
+            ts.params, ts.opt_state, ts.obs_rms, ts.value_rms, ts.key,
+            traj, advantages, returns,
+        )
+        ts = ts.replace(
+            params=params,
+            opt_state=opt_state,
+            obs_rms=obs_rms,
+            value_rms=value_rms,
+            key=key,
+            epoch=ts.epoch + 1,
+        )
+        return ts, metrics
 
     # ------------------------------------------------------------------ #
 

@@ -25,12 +25,18 @@ class RunningMeanStd:
         return cls(mean=jnp.zeros(dim), var=jnp.ones(dim), count=jnp.asarray(1e-4))
 
     def update(self, batch: jax.Array) -> "RunningMeanStd":
+        batch = batch.reshape(-1, batch.shape[-1])
+        return self.update_moments(
+            jnp.mean(batch, axis=0), jnp.var(batch, axis=0), batch.shape[0]
+        )
+
+    def update_moments(self, b_mean, b_var, b_count) -> "RunningMeanStd":
+        """Chan-merge precomputed batch moments. The distributed update path
+        computes per-shard moments, pmean's them across the mesh, and merges
+        here — numerically the same Chan merge as update() on the gathered
+        batch, without materializing it on any device."""
         if self.frozen:
             return self
-        batch = batch.reshape(-1, batch.shape[-1])
-        b_mean = jnp.mean(batch, axis=0)
-        b_var = jnp.var(batch, axis=0)
-        b_count = batch.shape[0]
         delta = b_mean - self.mean
         tot = self.count + b_count
         new_mean = self.mean + delta * b_count / tot
