@@ -349,7 +349,13 @@ class PPOAgent:
 
     def update_rnn(self, ts: TrainState, traj: Rollout, advantages, returns):
         """Minibatches are whole length-seq_len sequences (≙ the rl-games
-        sequential AMPDataset format, amp_datasets.py:44-96)."""
+        sequential AMPDataset format, amp_datasets.py:44-96).
+
+        NOTE: no shard_map DP variant yet — under a mesh this path still
+        compiles (GSPMD re-shards through the sequence shuffle, correct but
+        gather-heavy like the pre-_update_dp ff path). The PULSE pipeline
+        uses feed-forward networks throughout; add an _update_dp_rnn
+        mirroring update()'s if RNN policies ever train multi-chip."""
         cfg = self.config
         T, B = traj.rewards.shape
         L = cfg.seq_len
