@@ -32,6 +32,18 @@ if os.environ.get("PULSE_PLATFORM"):
 import jax.numpy as jnp
 
 
+def device_mem_gb():
+    """Live/peak device memory if the backend exposes it (axon may not)."""
+    try:
+        s = jax.local_devices()[0].memory_stats() or {}
+        return {
+            "live_gb": round(s.get("bytes_in_use", 0) / 2**30, 3),
+            "peak_gb": round(s.get("peak_bytes_in_use", 0) / 2**30, 3),
+        }
+    except Exception:
+        return None
+
+
 def step_rate(env, num_envs, steps=64):
     keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
     state = jax.jit(env.reset)(keys)
@@ -121,6 +133,9 @@ def main():
         "small_store": round(r_small, 1),
         "big_store": round(r_big, 1),
         "big_over_small": round(r_big / r_small, 4),
+        # direct duplication check: closed-over store arrays must be shared
+        # buffers across the reset/step executables, not per-executable copies
+        "device_mem": device_mem_gb(),
     }
     print(json.dumps(report["step_rate"]), flush=True)
 
@@ -165,6 +180,7 @@ def main():
         "epochs": args.train_epochs,
         "steps_per_s": round(rate, 1),
         "reward_finite": bool(np.isfinite(float(m["reward_mean"]))),
+        "device_mem": device_mem_gb(),
     }
     print(json.dumps(report, indent=2))
     if args.out:
