@@ -931,6 +931,33 @@ class HumanoidImEnv:
             pd_target = self.action_to_pd_target(
                 actions, self.model if bm is None else bm
             )
+            if bm is None and self._fused_step_ok():
+                # the ref motion state at the post-step time depends only on
+                # (motion_id, progress), so gather it BEFORE physics and let
+                # the reward/AMP stage ride the physics kernel — one launch,
+                # no boundary repack of the stepped body state
+                from pulse_tpu.env import pallas_obs as pobs
+
+                t = self._motion_time(
+                    states.replace(progress=states.progress + 1)
+                )
+                ref = get_motion_state(self.motion, states.motion_id, t)
+                e = self._fused_consts
+                if self.mesh is not None:
+                    fused_out = pobs.sharded_pallas_step_reward_amp(
+                        self.model, e, self.mesh, states.physics, pd_target,
+                        ref, interpret=self._pallas_interpret,
+                    )
+                else:
+                    fused_out = pobs.pallas_step_reward_amp(
+                        self.model, e, states.physics, pd_target, ref,
+                        interpret=self._pallas_interpret,
+                    )
+                physics, reward, raw, dmean, dmax, amp_row = fused_out
+                return self._finish_step_fused(
+                    states, physics, sampling_prob,
+                    ra=(reward, raw, dmean, dmax, amp_row),
+                )
             if self.mesh is not None:
                 physics = sharded_pallas_physics_step(
                     self.model, self.mesh, states.physics, pd_target,
@@ -941,8 +968,6 @@ class HumanoidImEnv:
                     self.model, states.physics, pd_target,
                     model_rows=model_rows, interpret=self._pallas_interpret,
                 )
-            if bm is None and self._fused_step_ok():
-                return self._finish_step_fused(states, physics, sampling_prob)
             if bm is None:
                 return jax.vmap(
                     lambda s, p, t: self._finish_step(
@@ -1020,11 +1045,14 @@ class HumanoidImEnv:
         states: EnvState,
         physics,
         sampling_prob: jax.Array | None = None,
+        ra: tuple | None = None,
     ) -> EnvState:
-        """Batched _finish_step with the two pallas_obs kernels in place of
+        """Batched _finish_step with the pallas_obs kernels in place of
         the XLA reward/amp/obs pipelines. Semantically identical to
         vmap(_finish_step) on the supported surface (golden-tested in
-        tests/test_pallas_obs.py)."""
+        tests/test_pallas_obs.py). When `ra` is given, the reward/AMP
+        stage already rode the physics kernel (pallas_step_reward_amp —
+        the step() hot path) and only termination/merge/obs remain."""
         from pulse_tpu.env import pallas_obs as pobs
 
         cfg = self.config
@@ -1035,14 +1063,17 @@ class HumanoidImEnv:
         progress = states.progress + 1
         stepped = states.replace(physics=physics, progress=progress)
         t = self._motion_time(stepped)
-        ref = get_motion_state(self.motion, stepped.motion_id, t)
-        if self.mesh is not None:
+        if ra is not None:
+            reward, reward_raw, dmean, dmax, amp_row = ra
+        elif self.mesh is not None:
+            ref = get_motion_state(self.motion, stepped.motion_id, t)
             reward, reward_raw, dmean, dmax, amp_row = (
                 pobs.sharded_pallas_reward_amp(
                     e, self.mesh, physics, ref, interpret=self._pallas_interpret
                 )
             )
         else:
+            ref = get_motion_state(self.motion, stepped.motion_id, t)
             reward, reward_raw, dmean, dmax, amp_row = pobs.pallas_reward_amp(
                 e, physics, ref, interpret=self._pallas_interpret
             )

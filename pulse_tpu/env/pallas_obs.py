@@ -9,23 +9,30 @@ obs/amp/reward/auto-reset ops around a 0.15 ms physics kernel
 tiny elementwise kernels over [B, 24, k] tensors; fusing each stage into
 one VMEM-resident Pallas kernel removes the HBM roundtrips between them.
 
-Two kernels instead of folding into the physics kernel:
+Three kernels over the step:
 
-  * `pallas_reward_amp` — imitation reward (+ per-term raws), the
-    termination distances, and the AMP obs row, all functions of the
-    PRE-auto-reset stepped state (≙ the _finish_step stage that runs
-    before the reset merge: kernels.compute_imitation_reward,
-    compute_humanoid_im_reset's distance, build_amp_observations_smpl).
+  * `pallas_step_reward_amp` — THE hot path: the physics mega-kernel with
+    the imitation reward (+ per-term raws), termination distances, and AMP
+    obs row fused in via substep_pallas._build_kernel's `extra` hook. The
+    reward/AMP stage is a function of the PRE-auto-reset stepped state
+    (≙ the _finish_step stage before the reset merge:
+    kernels.compute_imitation_reward, compute_humanoid_im_reset's
+    distance, build_amp_observations_smpl), and the ref motion state at
+    the post-step time depends only on (motion_id, progress) — so it is
+    gathered before physics and the stage consumes the stepped body state
+    in VMEM, saving the custom-call boundary + repack between the physics
+    and reward kernels (~part of the 0.35 ms/step of boundary copies in
+    the round-3 profile at 3072 envs).
+  * `pallas_reward_amp` — the same stage standalone (on an already-stepped
+    state); kept for independent golden-testing and for callers that step
+    physics elsewhere.
   * `pallas_observe` — self obs (v1) + imitation task obs (v6, T=1) of the
     POST-merge state (≙ kernels.compute_humanoid_self_obs_max +
     compute_imitation_observations_v6 on the merged state).
 
-The auto-reset select between them stays in XLA (it is a pure data
-movement the compiler fuses well, and fresh-state rows come from motion-
-table gathers the kernel could not do). Keeping the kernels separate from
-the physics kernel costs one extra HBM read of the body state (~2 MB per
-1024-env block, ~microseconds) and keeps all three kernels independently
-golden-testable.
+The auto-reset select stays in XLA (it is a pure data movement the
+compiler fuses well, and fresh-state rows come from motion-table gathers
+the kernel could not do).
 
 Math notes:
   * dof_to_obs_smpl(quat_to_exp_map(jrot)) == tan_norm(jrot) exactly: the
@@ -177,6 +184,99 @@ def amp_obs_dim(J: int, num_key: int, amp_v: int, root_height: bool) -> int:
 # kernel R: reward + termination distances + AMP obs (pre-merge state)
 # --------------------------------------------------------------------------- #
 
+def _reward_amp_tiles(e, pos, rot, vel, ang, jrot, jom, rpos, rrot, rvel, rang):
+    """Shared tile math for the reward/termination/AMP stage: given the
+    stepped world body state (pos/rot/vel/ang per body), the joint state
+    (jrot/jom per non-root joint), and the reference body state, return
+    the output tile list [reward, raw4..., dist_mean, dist_max, amp...].
+    Used by both the standalone reward/AMP kernel and the fused
+    physics+reward kernel (pallas_step_reward_amp)."""
+    J = e["J"]
+    Jm1 = J - 1
+
+    # --- imitation reward (kernels.compute_imitation_reward) --------- #
+    zero = pos[0][0] * 0.0
+    pos_sq = zero
+    vel_sq = zero
+    ang_sq = zero
+    rot_sq = zero
+    for b in range(J):
+        dp = _v_sub(rpos[b], pos[b])
+        pos_sq = pos_sq + dp[0] * dp[0] + dp[1] * dp[1] + dp[2] * dp[2]
+        dv = _v_sub(rvel[b], vel[b])
+        vel_sq = vel_sq + dv[0] * dv[0] + dv[1] * dv[1] + dv[2] * dv[2]
+        da = _v_sub(rang[b], ang[b])
+        ang_sq = ang_sq + da[0] * da[0] + da[1] * da[1] + da[2] * da[2]
+        a = _quat_angle(_qmul(rrot[b], _qconj(rot[b])))
+        rot_sq = rot_sq + a * a
+    inv3J = 1.0 / (3.0 * J)
+    invJ = 1.0 / J
+    r_pos = jnp.exp(-e["k_pos"] * pos_sq * inv3J)
+    r_rot = jnp.exp(-e["k_rot"] * rot_sq * invJ)
+    r_vel = jnp.exp(-e["k_vel"] * vel_sq * inv3J)
+    r_ang = jnp.exp(-e["k_ang_vel"] * ang_sq * inv3J)
+    reward = (
+        e["w_pos"] * r_pos + e["w_rot"] * r_rot
+        + e["w_vel"] * r_vel + e["w_ang_vel"] * r_ang
+    )
+
+    # --- termination distances over the reset-body subset ------------ #
+    dsum = zero
+    dmax = zero
+    for b in e["reset_ids"]:
+        dp = _v_sub(pos[b], rpos[b])
+        d = jnp.sqrt(dp[0] * dp[0] + dp[1] * dp[1] + dp[2] * dp[2])
+        dsum = dsum + d
+        dmax = jnp.maximum(dmax, d)
+    dmean = dsum * (1.0 / len(e["reset_ids"]))
+
+    # --- AMP obs (build_amp_observations_smpl / _v2) ---------------- #
+    root_pos, root_rot = pos[0], rot[0]
+    s, w = _heading_inv_sz(root_rot)
+    if e["local_root_obs"]:
+        rr_obs = _tan_norm(_hz_mul(s, w, root_rot))
+    else:
+        rr_obs = _tan_norm(root_rot)
+    lvel = _hz_rot(s, w, vel[0])
+    lang = _hz_rot(s, w, ang[0])
+
+    amp = []
+    if e["root_height_obs"]:
+        amp.append(root_pos[2])
+    amp += rr_obs + lvel + lang
+    for j in range(Jm1):       # dof tan-norm == tan_norm(jrot) (module doc)
+        amp += _tan_norm(jrot[j])
+    for j in range(Jm1):       # dof_vel = local joint omega
+        amp += jom[j]
+    key_local = []
+    key_lvel = []
+    for b in e["key_ids"]:
+        key_local += _hz_rot(s, w, _v_sub(pos[b], root_pos))
+        if e["amp_v"] == 2:
+            key_lvel += _hz_rot(s, w, vel[b])
+    amp += key_local + key_lvel
+
+    return [reward, r_pos, r_rot, r_vel, r_ang, dmean, dmax] + amp
+
+
+def _ra_out_dim(e):
+    n_amp = amp_obs_dim(
+        e["J"], len(e["key_ids"]), e["amp_v"], e["root_height_obs"]
+    )
+    return 1 + 4 + 2 + n_amp  # reward | raw4 | dist_mean,dist_max | amp
+
+
+def _read_ref_block(rd, rref_base, rref, J):
+    def rdr(name, width, b, k):
+        return rd(rref_base + rref[name] + width * b + k)
+
+    rpos = [[rdr("pos", 3, b, k) for k in range(3)] for b in range(J)]
+    rrot = [[rdr("rot", 4, b, k) for k in range(4)] for b in range(J)]
+    rvel = [[rdr("vel", 3, b, k) for k in range(3)] for b in range(J)]
+    rang = [[rdr("ang", 3, b, k) for k in range(3)] for b in range(J)]
+    return rpos, rrot, rvel, rang
+
+
 def _build_reward_amp_kernel(e):
     J = e["J"]
     Jm1 = J - 1
@@ -187,8 +287,7 @@ def _build_reward_amp_kernel(e):
     rref_base = r_jom + 3 * Jm1
     rref, nref = _body_rows(J)
     n_in = rref_base + nref
-    n_amp = amp_obs_dim(J, len(e["key_ids"]), e["amp_v"], e["root_height_obs"])
-    n_out = 1 + 4 + 2 + n_amp  # reward | raw4 | dist_mean,dist_max | amp
+    n_out = _ra_out_dim(e)
 
     def kernel(in_ref, out_ref):
         def rd(r):
@@ -197,78 +296,10 @@ def _build_reward_amp_kernel(e):
         pos, rot, vel, ang = _read_bodies(rd, rbody, J)
         jrot = [[rd(r_jrot + 4 * j + k) for k in range(4)] for j in range(Jm1)]
         jom = [[rd(r_jom + 3 * j + k) for k in range(3)] for j in range(Jm1)]
-
-        def rdr(name, width, b, k):
-            return rd(rref_base + rref[name] + width * b + k)
-
-        rpos = [[rdr("pos", 3, b, k) for k in range(3)] for b in range(J)]
-        rrot = [[rdr("rot", 4, b, k) for k in range(4)] for b in range(J)]
-        rvel = [[rdr("vel", 3, b, k) for k in range(3)] for b in range(J)]
-        rang = [[rdr("ang", 3, b, k) for k in range(3)] for b in range(J)]
-
-        # --- imitation reward (kernels.compute_imitation_reward) --------- #
-        zero = pos[0][0] * 0.0
-        pos_sq = zero
-        vel_sq = zero
-        ang_sq = zero
-        rot_sq = zero
-        for b in range(J):
-            dp = _v_sub(rpos[b], pos[b])
-            pos_sq = pos_sq + dp[0] * dp[0] + dp[1] * dp[1] + dp[2] * dp[2]
-            dv = _v_sub(rvel[b], vel[b])
-            vel_sq = vel_sq + dv[0] * dv[0] + dv[1] * dv[1] + dv[2] * dv[2]
-            da = _v_sub(rang[b], ang[b])
-            ang_sq = ang_sq + da[0] * da[0] + da[1] * da[1] + da[2] * da[2]
-            a = _quat_angle(_qmul(rrot[b], _qconj(rot[b])))
-            rot_sq = rot_sq + a * a
-        inv3J = 1.0 / (3.0 * J)
-        invJ = 1.0 / J
-        r_pos = jnp.exp(-e["k_pos"] * pos_sq * inv3J)
-        r_rot = jnp.exp(-e["k_rot"] * rot_sq * invJ)
-        r_vel = jnp.exp(-e["k_vel"] * vel_sq * inv3J)
-        r_ang = jnp.exp(-e["k_ang_vel"] * ang_sq * inv3J)
-        reward = (
-            e["w_pos"] * r_pos + e["w_rot"] * r_rot
-            + e["w_vel"] * r_vel + e["w_ang_vel"] * r_ang
+        rpos, rrot, rvel, rang = _read_ref_block(rd, rref_base, rref, J)
+        out = _reward_amp_tiles(
+            e, pos, rot, vel, ang, jrot, jom, rpos, rrot, rvel, rang
         )
-
-        # --- termination distances over the reset-body subset ------------ #
-        dsum = zero
-        dmax = zero
-        for b in e["reset_ids"]:
-            dp = _v_sub(pos[b], rpos[b])
-            d = jnp.sqrt(dp[0] * dp[0] + dp[1] * dp[1] + dp[2] * dp[2])
-            dsum = dsum + d
-            dmax = jnp.maximum(dmax, d)
-        dmean = dsum * (1.0 / len(e["reset_ids"]))
-
-        # --- AMP obs (build_amp_observations_smpl / _v2) ---------------- #
-        root_pos, root_rot = pos[0], rot[0]
-        s, w = _heading_inv_sz(root_rot)
-        if e["local_root_obs"]:
-            rr_obs = _tan_norm(_hz_mul(s, w, root_rot))
-        else:
-            rr_obs = _tan_norm(root_rot)
-        lvel = _hz_rot(s, w, vel[0])
-        lang = _hz_rot(s, w, ang[0])
-
-        amp = []
-        if e["root_height_obs"]:
-            amp.append(root_pos[2])
-        amp += rr_obs + lvel + lang
-        for j in range(Jm1):       # dof tan-norm == tan_norm(jrot) (module doc)
-            amp += _tan_norm(jrot[j])
-        for j in range(Jm1):       # dof_vel = local joint omega
-            amp += jom[j]
-        key_local = []
-        key_lvel = []
-        for b in e["key_ids"]:
-            key_local += _hz_rot(s, w, _v_sub(pos[b], root_pos))
-            if e["amp_v"] == 2:
-                key_lvel += _hz_rot(s, w, vel[b])
-        amp += key_local + key_lvel
-
-        out = [reward, r_pos, r_rot, r_vel, r_ang, dmean, dmax] + amp
         for r, val in enumerate(out):
             out_ref[0, r] = val
 
@@ -315,6 +346,139 @@ def pallas_reward_amp(
     dmax = rows_out[:, 6]
     amp = rows_out[:, 7:]
     return reward, raw, dmean, dmax, amp
+
+
+# --------------------------------------------------------------------------- #
+# kernel S: physics substeps + reward/termination/AMP in ONE launch
+# --------------------------------------------------------------------------- #
+
+def _build_step_reward_amp_kernel(model_consts, e):
+    """Fuse the reward/AMP stage into the physics mega-kernel via its
+    `extra` hook: the ref body state rides in as extra input rows and the
+    reward/raw/dist/amp tiles ride out after the physics outputs, computed
+    while the stepped body state is still in VMEM."""
+    from pulse_tpu.physics import substep_pallas as sp
+
+    J = e["J"]
+    rref, nref = _body_rows(J)
+
+    def extra_fn(rd_extra, pos, rot, vel, ang, jrot, omega):
+        rpos, rrot, rvel, rang = _read_ref_block(rd_extra, 0, rref, J)
+        return _reward_amp_tiles(
+            e, pos, rot, vel, ang, jrot, omega, rpos, rrot, rvel, rang
+        )
+
+    return sp._build_kernel(
+        model_consts, extra=(nref, _ra_out_dim(e), extra_fn)
+    )
+
+
+def pallas_step_reward_amp(
+    model,
+    env_consts: dict,
+    state,
+    pd_target: jax.Array,
+    ref: dict,
+    *,
+    interpret: bool = False,
+):
+    """One launch for the whole pre-merge env step: physics substeps, final
+    FK, imitation reward, termination distances, and the AMP obs row —
+    equivalent to pallas_physics_step followed by pallas_reward_amp, minus
+    the custom-call boundary between them (the repack of the stepped body
+    state was part of the ~0.35 ms/step of boundary copies in the round-3
+    profile at 3072 envs). The ref motion state at the post-step time
+    depends only on (motion_id, progress), so the caller gathers it BEFORE
+    physics and it enters as kernel input rows.
+
+    Returns (PhysicsState, reward [B], reward_raw [B,4], dist_mean [B],
+    dist_max [B], amp_obs [B, A])."""
+    from pulse_tpu.physics import substep_pallas as sp
+
+    e = env_consts
+    J = model.num_bodies
+    Jm1 = J - 1
+    B = state.root_pos.shape[0]
+    if B % ENVS_PER_BLOCK != 0:
+        raise ValueError(f"num_envs must be a multiple of {ENVS_PER_BLOCK}")
+    c = sp._extract_consts(model)
+    kernel, n_in, n_out = _build_step_reward_amp_kernel(c, e)
+
+    rows_in = jnp.concatenate(
+        [
+            state.root_pos,
+            state.root_rot,
+            state.joint_rot.reshape(B, 4 * Jm1),
+            state.root_vel6,
+            state.joint_omega.reshape(B, 3 * Jm1),
+            pd_target.reshape(B, 3 * Jm1),
+            ref["rg_pos"].reshape(B, 3 * J),
+            ref["rb_rot"].reshape(B, 4 * J),
+            ref["body_vel"].reshape(B, 3 * J),
+            ref["body_ang_vel"].reshape(B, 3 * J),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    x = _pack(rows_in)
+    NB = x.shape[0]
+    out = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec((1, n_in, 8, 128), lambda i: (i, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, n_out, 8, 128), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, n_out, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(x)
+    rows_out = _unpack(out)
+
+    _, n_state = sp._row_layout(J)
+    n_phys = n_state + 3 * J + 13 * J
+    physics = sp.physics_state_from_rows(rows_out, J)
+    ra = rows_out[:, n_phys:]
+    return physics, ra[:, 0], ra[:, 1:5], ra[:, 5], ra[:, 6], ra[:, 7:]
+
+
+def pallas_step_reward_amp_padded(
+    model, env_consts, state, pd_target, ref, *, interpret=False
+):
+    """pallas_step_reward_amp for any batch size (pads to a tile multiple,
+    mirroring pallas_physics_step_padded) — the per-shard body under DP."""
+    B = state.root_pos.shape[0]
+    Bp = ((B + ENVS_PER_BLOCK - 1) // ENVS_PER_BLOCK) * ENVS_PER_BLOCK
+    if Bp == B:
+        return pallas_step_reward_amp(
+            model, env_consts, state, pd_target, ref, interpret=interpret
+        )
+    out = pallas_step_reward_amp(
+        model,
+        env_consts,
+        _pad_batch(state, B, Bp),
+        _pad_batch(pd_target, B, Bp),
+        _pad_batch(ref, B, Bp),
+        interpret=interpret,
+    )
+    return jax.tree.map(lambda x: x[:B], out)
+
+
+def sharded_pallas_step_reward_amp(
+    model, env_consts, mesh, state, pd_target, ref, *, interpret=False
+):
+    """shard_map wrapper: each device runs the fused step+reward kernel on
+    its padded env shard (no collectives — see sharded_pallas_physics_step)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        functools.partial(
+            pallas_step_reward_amp_padded, model, env_consts,
+            interpret=interpret,
+        ),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return fn(state, pd_target, ref)
 
 
 # --------------------------------------------------------------------------- #

@@ -719,13 +719,26 @@ def _model_tiles(c, mrd, lay):
     )
 
 
-def _build_kernel(c, with_model_rows: bool = False):
+def _build_kernel(c, with_model_rows: bool = False, extra=None):
+    """Build the mega-kernel. `extra` fuses a post-physics stage into the
+    same kernel while the final state is still in VMEM: a tuple
+    (n_extra_in, n_extra_out, fn) where fn(rd_extra, pos, rot, vel, ang,
+    jrot, omega) reads extra input rows (appended after pd_target) via
+    rd_extra and returns n_extra_out output tiles (appended after the
+    physics outputs). Used by env/pallas_obs.py to fold the imitation
+    reward + AMP obs stage into the physics step (saves one custom-call
+    boundary and the repack of the stepped body state)."""
     J = c["J"]
     Jm1 = J - 1
     P = len(c["cp_radius"])
     rows, n_state = _row_layout(J)
     n_in = n_state + 3 * Jm1  # + pd_target
-    n_out = n_state + 3 * J + 13 * J  # + contact + world body state
+    n_phys_out = n_state + 3 * J + 13 * J  # + contact + world body state
+    n_out = n_phys_out
+    if extra is not None:
+        n_extra_in, n_extra_out, extra_fn = extra
+        n_in += n_extra_in
+        n_out += n_extra_out
 
     def kernel(in_ref, *refs):
         if with_model_rows:
@@ -792,6 +805,17 @@ def _build_kernel(c, with_model_rows: bool = False):
                 wr(base + 13 * b + 7 + k, vl[b][k])
             for k in range(3):
                 wr(base + 13 * b + 10 + k, w[b][k])
+
+        if extra is not None:
+            base_extra = n_state + 3 * Jm1
+
+            def rd_extra(r):
+                return in_ref[0, base_extra + r]
+
+            vals = extra_fn(rd_extra, pos, rot, vl, w, jrot, omega)
+            assert len(vals) == n_extra_out
+            for i, val in enumerate(vals):
+                wr(n_phys_out + i, val)
 
     return kernel, n_in, n_out
 
@@ -878,9 +902,19 @@ def pallas_physics_step(
         interpret=interpret,
     )(*inputs)
     rows_out = _unpack(out)
+    return physics_state_from_rows(rows_out, J)
 
+
+def physics_state_from_rows(rows_out: jax.Array, J: int) -> PhysicsState:
+    """Slice the kernel's output rows [B, >= n_state + 3J + 13J] back into a
+    PhysicsState (shared by pallas_physics_step and the fused step+reward
+    entry in env/pallas_obs.py, which appends extra rows after these)."""
+    B = rows_out.shape[0]
+    Jm1 = J - 1
     rows_l, n_state = _row_layout(J)
-    body = rows_out[:, n_state + 3 * J :].reshape(B, J, 13)
+    body = rows_out[:, n_state + 3 * J : n_state + 3 * J + 13 * J].reshape(
+        B, J, 13
+    )
     return PhysicsState(
         root_pos=rows_out[:, 0:3],
         root_rot=rows_out[:, 3:7],

@@ -186,6 +186,80 @@ def test_fused_amp_v2_parity(im_setup):
     )
 
 
+def test_one_launch_step_trace_parity(im_setup):
+    """The one-launch hot path (env.step -> pallas_step_reward_amp) must
+    trace to the same output structure as the per-env step_one path.
+    eval_shape only — no kernel execution, so it stays fast on CPU; the
+    numeric parity of the one-launch kernel is pinned on device by
+    tools/check_pallas_tpu.py step_fused_check (and the opt-in interpret
+    test below)."""
+    model, motion = im_setup
+    B = 1024
+    env = HumanoidImEnv(model, motion, EnvConfig())
+    env._pallas_interpret = True
+    assert env._fused_step_ok()
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.eval_shape(env.reset, keys)
+    actions = jax.ShapeDtypeStruct((B, env.action_dim), jnp.float32)
+
+    got = jax.eval_shape(env.step, states, actions)
+    want = jax.eval_shape(
+        lambda s, a: jax.vmap(env.step_one)(s, a), states, actions
+    )
+    assert jax.tree_util.tree_structure(got) == jax.tree_util.tree_structure(
+        want
+    )
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("PULSE_RUN_SLOW"),
+    reason="interpret-mode physics kernel costs minutes/call on CPU; "
+    "tools/check_pallas_tpu.py --only step covers this on real TPU",
+)
+def test_one_launch_step_interpret_parity(im_setup):
+    """Numeric parity of the one-launch step kernel (physics + reward/AMP
+    fused) against the two-launch composition, in interpret mode (opt-in:
+    the physics half is the expensive interpret kernel)."""
+    from pulse_tpu.physics.substep_pallas import pallas_physics_step
+
+    model, motion = im_setup
+    B = 1024
+    env = HumanoidImEnv(model, motion, EnvConfig())
+    env._pallas_interpret = True
+    keys = jax.random.split(jax.random.PRNGKey(4), B)
+    states = env.reset(keys)
+    actions = 0.5 * jax.random.normal(
+        jax.random.PRNGKey(5), (B, env.action_dim)
+    )
+    got = jax.jit(env.step)(states, actions)
+
+    def two_launch(states, actions):
+        acts = jax.vmap(env._dr_action_noise)(states, actions)
+        acts = jax.vmap(env.motor_actions_one)(states, acts)
+        pd = env.action_to_pd_target(acts, env.model)
+        physics = pallas_physics_step(
+            env.model, states.physics, pd, interpret=True
+        )
+        return env._finish_step_fused(states, physics)
+
+    want = jax.jit(two_launch)(states, actions)
+    np.testing.assert_allclose(
+        np.asarray(got.reward), np.asarray(want.reward), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.obs), np.asarray(want.obs), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.amp_hist[:, 0]), np.asarray(want.amp_hist[:, 0]),
+        atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.done), np.asarray(want.done)
+    )
+
+
 def test_fused_eligibility_gates(im_setup):
     model, motion = im_setup
     # non-default surfaces fall back to the per-env path
