@@ -132,6 +132,11 @@ def main():
         "fine-tunes — and is skipped entirely if the pretrained gate "
         "already reaches the column union",
     )
+    ap.add_argument(
+        "--spec_eval_every", type=int, default=500,
+        help="specialist in-training eval cadence; lower values early-stop "
+        "warm-started family rungs sooner (graded mode)",
+    )
     ap.add_argument("--out", default="output/curriculum")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -231,12 +236,48 @@ def main():
               f"pa={r.mpjpe_pa:.1f}mm {per}", flush=True)
         return r
 
+    def result_json(r):
+        return {
+            "success": int(M - r.failed_motions.sum()),
+            "mpjpe_g_mm": round(r.mpjpe_g, 2),
+            "mpjpe_l_mm": round(r.mpjpe_l, 2),
+            "mpjpe_pa_mm": round(r.mpjpe_pa, 2),
+            "per_clip": {
+                n: {
+                    "success": bool(~r.failed_motions[i]),
+                    "mpjpe_g_mm": round(float(r.per_motion_mpjpe_g[i]), 2),
+                }
+                for i, n in enumerate(names)
+            },
+        }
+
     # ---------------------------------------------------------------- #
     # column stages (resume from snapshots if present)
     # ---------------------------------------------------------------- #
     col_actors = []       # host copies of each column's actor-critic params
     col_rms = []          # matching obs stats
     col_evals = []
+
+    def dump_partial(spec_names, composer_result=None):
+        """Write stage results so far: a multi-hour graded run interrupted
+        mid-flight still leaves a committable artifact (out/partial.json)."""
+        if not col_evals:
+            return
+        partial = {
+            "suite": suite_label,
+            "status": "partial",
+            "columns": [result_json(r) for r in col_evals],
+            "specialists": list(spec_names),
+            "composer": None if composer_result is None
+            else result_json(composer_result),
+            "column_union_success": int(
+                M - np.logical_and.reduce(
+                    [r.failed_motions for r in col_evals]
+                ).sum()
+            ),
+        }
+        with open(os.path.join(args.out, "partial.json"), "w") as fh:
+            json.dump(partial, fh, indent=2)
     failed = np.ones(M, bool)
     ts = agent.init(jax.random.PRNGKey(args.seed))
 
@@ -289,6 +330,7 @@ def main():
             jax.tree.map(jnp.asarray, col_actors[-1]), col_rms[-1], f"col{col}"
         )
         col_evals.append(r)
+        dump_partial([])
         new_failed = r.failed_motions.copy()
         if col == 0:
             failed = new_failed
@@ -431,8 +473,19 @@ def main():
                 ),
             )
 
-        for i in failed_ids[: args.max_specialists]:
+        n_spec = 0
+        for i in failed_ids:
+            if n_spec >= args.max_specialists:
+                break
             name = names[i]
+            # a specialist trained on an easier rung often cracks its
+            # neighbors (same family, shared dynamics) — retest coverage
+            # before paying for another stage
+            if not all(np.asarray(r.failed_motions)[i] for r in col_evals):
+                print(f"[spec_{name}] already covered by an earlier "
+                      "column/specialist — skipping", flush=True)
+                continue
+            n_spec += 1
             use_ladder = args.sharp_curriculum and name == "sharp_turns"
             snap = os.path.join(
                 args.out, f"spec_{name}{'_ladder' if use_ladder else ''}.pkl"
@@ -476,7 +529,7 @@ def main():
                     ts = ts.replace(motion_prob=jnp.array(hard))
                     ts = run_stage(
                         ts, args.specialist_epochs, f"spec_{name}",
-                        hard_mask=mask, eval_every=500,
+                        hard_mask=mask, eval_every=args.spec_eval_every,
                     )
                 save_snap(snap, ts.params, ts.obs_rms)
             col_actors.append(jax.device_get(ts.params))
@@ -489,6 +542,7 @@ def main():
                 )
             )
             spec_names.append(name)
+            dump_partial(spec_names)
 
     # ---------------------------------------------------------------- #
     # getup/AMP column stage: AMPAgent in the fall-state curriculum env
@@ -830,24 +884,12 @@ def main():
 
         composer_result = eval_composer(cts.params, cts.obs_rms, "composer")
 
+    if composer_result is not None:
+        dump_partial(spec_names, composer_result)
+
     # ---------------------------------------------------------------- #
     # report
     # ---------------------------------------------------------------- #
-    def result_json(r):
-        return {
-            "success": int(M - r.failed_motions.sum()),
-            "mpjpe_g_mm": round(r.mpjpe_g, 2),
-            "mpjpe_l_mm": round(r.mpjpe_l, 2),
-            "mpjpe_pa_mm": round(r.mpjpe_pa, 2),
-            "per_clip": {
-                n: {
-                    "success": bool(~r.failed_motions[i]),
-                    "mpjpe_g_mm": round(float(r.per_motion_mpjpe_g[i]), 2),
-                }
-                for i, n in enumerate(names)
-            },
-        }
-
     out = {
         "suite": suite_label,
         "pallas": args.pallas,
